@@ -1,0 +1,137 @@
+"""Op-level numerical parity vs torch (the oracle the reference is built on)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from us_video_medsam2_tpu.ops.posenc import (  # noqa: E402
+    apply_rope,
+    compute_axial_rope,
+    sine_pe_1d,
+    sine_pos_embed_2d,
+)
+from us_video_medsam2_tpu.ops.resize import resize2d, upsample_nearest_2x  # noqa: E402
+from us_video_medsam2_tpu.ops.window import window_partition, window_unpartition  # noqa: E402
+
+
+def _t2j_nhwc(x):
+    return jnp.asarray(x.permute(0, 2, 3, 1).numpy())
+
+
+def _j2t_nchw(x):
+    return torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2)
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_hw,mode,antialias",
+    [
+        ((7, 7), (128, 128), "cubic", False),  # hiera pos embed
+        ((64, 64), (256, 256), "linear", False),  # mask logits upsample
+        ((32, 32), (128, 128), "linear", False),
+        ((256, 256), (64, 64), "linear", True),  # mask-as-output downsample
+        ((512, 512), (128, 128), "linear", True),  # sam mask prompt downsample
+        ((33, 47), (16, 24), "linear", True),
+        ((16, 16), (32, 32), "nearest", False),  # fpn top-down
+    ],
+)
+def test_resize_matches_torch(in_hw, out_hw, mode, antialias):
+    torch.manual_seed(0)
+    x = torch.randn(2, 3, *in_hw)
+    tmode = {"linear": "bilinear", "cubic": "bicubic", "nearest": "nearest"}[mode]
+    kwargs = dict(size=out_hw, mode=tmode)
+    if mode != "nearest":
+        kwargs["align_corners"] = False
+        kwargs["antialias"] = antialias
+    ref = F.interpolate(x, **kwargs)
+    got = resize2d(_t2j_nhwc(x), out_hw, mode=mode, antialias=antialias)
+    np.testing.assert_allclose(
+        np.asarray(_j2t_nchw(got)), ref.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_upsample_nearest_2x():
+    torch.manual_seed(0)
+    x = torch.randn(1, 4, 8, 8)
+    ref = F.interpolate(x, scale_factor=2.0, mode="nearest")
+    got = upsample_nearest_2x(_t2j_nhwc(x))
+    np.testing.assert_allclose(np.asarray(_j2t_nchw(got)), ref.numpy(), atol=0)
+
+
+def test_sine_pos_embed_2d_matches_reference_formula():
+    """Check against a literal re-evaluation of reference position_encoding.py:79-112."""
+    h, w, channels, temp = 16, 16, 64, 10000
+    half = channels // 2
+    y_embed = torch.arange(1, h + 1, dtype=torch.float32).view(1, -1, 1).repeat(1, 1, w)
+    x_embed = torch.arange(1, w + 1, dtype=torch.float32).view(1, 1, -1).repeat(1, h, 1)
+    eps, scale = 1e-6, 2 * np.pi
+    y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
+    x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
+    dim_t = torch.arange(half, dtype=torch.float32)
+    dim_t = temp ** (2 * (dim_t // 2) / half)
+    pos_x = x_embed[:, :, :, None] / dim_t
+    pos_y = y_embed[:, :, :, None] / dim_t
+    pos_x = torch.stack((pos_x[..., 0::2].sin(), pos_x[..., 1::2].cos()), dim=4).flatten(3)
+    pos_y = torch.stack((pos_y[..., 0::2].sin(), pos_y[..., 1::2].cos()), dim=4).flatten(3)
+    ref = torch.cat((pos_y, pos_x), dim=3)[0]  # [H, W, C]
+    got = sine_pos_embed_2d(h, w, channels, temp)
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_sine_pe_1d_matches_reference():
+    dim = 64
+    pos = torch.tensor([0.0, 0.25, 0.5, 1.0, -0.5])
+    pe_dim = dim // 2
+    dim_t = torch.arange(pe_dim, dtype=torch.float32)
+    dim_t = 10000 ** (2 * (dim_t // 2) / pe_dim)
+    pe = pos.unsqueeze(-1) / dim_t
+    ref = torch.cat([pe.sin(), pe.cos()], dim=-1)
+    got = sine_pe_1d(jnp.asarray(pos.numpy()), dim)
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def _torch_axial_rope(dim, end_x, end_y, theta=10000.0):
+    freqs_x = 1.0 / (theta ** (torch.arange(0, dim, 4)[: dim // 4].float() / dim))
+    freqs_y = 1.0 / (theta ** (torch.arange(0, dim, 4)[: dim // 4].float() / dim))
+    t = torch.arange(end_x * end_y, dtype=torch.float32)
+    t_x, t_y = (t % end_x).float(), torch.div(t, end_x, rounding_mode="floor").float()
+    fx = torch.outer(t_x, freqs_x)
+    fy = torch.outer(t_y, freqs_y)
+    return torch.polar(torch.ones_like(fx), fx), torch.polar(torch.ones_like(fy), fy)
+
+
+def test_rope_matches_reference():
+    dim, ex, ey = 32, 8, 8
+    cx, cy = _torch_axial_rope(dim, ex, ey)
+    freqs_cis = torch.cat([cx, cy], dim=-1)  # [L, dim//2] complex
+
+    torch.manual_seed(0)
+    B, H, L = 2, 2, ex * ey
+    q = torch.randn(B, H, L, dim)
+    k = torch.randn(B, H, 3 * L, dim)  # repeated keys (3 memory slots)
+
+    # reference apply_rotary_enc with repeat_freqs_k
+    q_ = torch.view_as_complex(q.reshape(B, H, L, dim // 2, 2))
+    fc = freqs_cis.view(1, 1, L, dim // 2)
+    q_ref = torch.view_as_real(q_ * fc).flatten(3)
+    k_ = torch.view_as_complex(k.reshape(B, H, 3 * L, dim // 2, 2))
+    fc3 = fc.unsqueeze(2).expand(-1, -1, 3, -1, -1).flatten(2, 3)
+    k_ref = torch.view_as_real(k_ * fc3).flatten(3)
+
+    cos, sin = compute_axial_rope(dim, ex, ey)
+    q_got = apply_rope(jnp.asarray(q.numpy()), cos, sin)
+    k_got = apply_rope(jnp.asarray(k.numpy()), cos, sin, repeat_to_len=3 * L)
+    np.testing.assert_allclose(np.asarray(q_got), q_ref.numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(k_got), k_ref.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_window_partition_roundtrip():
+    torch.manual_seed(0)
+    x = jnp.asarray(torch.randn(2, 18, 22, 8).numpy())
+    wins, pad_hw = window_partition(x, 7)
+    assert wins.shape[1:] == (7, 7, 8)
+    back = window_unpartition(wins, 7, pad_hw, (18, 22))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=0)

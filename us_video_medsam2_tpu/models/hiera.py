@@ -1,0 +1,192 @@
+"""Hiera: hierarchical windowed ViT trunk (TPU/NHWC re-design).
+
+Capability parity with reference sam2/modeling/backbones/hieradet.py:169-317:
+4 stages with dim/head doubling, windowed attention everywhere except the
+designated global blocks, and max-pool Q-downsampling at stage transitions.
+Window partition/unpartition are static reshapes; attention runs on
+[num_windows*B, heads, tokens, 96] batches that XLA tiles onto the MXU.
+
+The windowed background position embedding (reference hieradet.py:273-281) is
+interpolated with torch-compatible bicubic weights (ops/resize.py) so imported
+SAM2.1 checkpoints reproduce reference features bit-closely.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from us_video_medsam2_tpu.core.config import HieraConfig
+from us_video_medsam2_tpu.models.layers import MLP, DropPath, LayerNorm, gelu_exact
+from us_video_medsam2_tpu.ops.attention import sdpa
+from us_video_medsam2_tpu.ops.resize import resize2d
+from us_video_medsam2_tpu.ops.window import window_partition, window_unpartition
+
+
+def _max_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/stride-2 max pool over [..., H, W, C]."""
+    b = x.shape[:-3]
+    h, w, c = x.shape[-3:]
+    x = x.reshape(*b, h // 2, 2, w // 2, 2, c)
+    return x.max(axis=(-2, -4))
+
+
+class MultiScaleAttention(nn.Module):
+    """Windowed MHSA with optional Q max-pooling (reference hieradet.py:39-81)."""
+
+    dim_out: int
+    num_heads: int
+    q_pool: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, _ = x.shape
+        head_dim = self.dim_out // self.num_heads
+        qkv = nn.Dense(self.dim_out * 3, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if self.q_pool:
+            q = q.reshape(b, h, w, self.dim_out)
+            q = _max_pool_2x(q)
+            h, w = q.shape[1:3]
+            q = q.reshape(b, h * w, self.num_heads, head_dim)
+        out = sdpa(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim_out)
+        return nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(out)
+
+
+class MultiScaleBlock(nn.Module):
+    """Hiera block (reference hieradet.py:84-166)."""
+
+    dim: int
+    dim_out: int
+    num_heads: int
+    window_size: int
+    q_stride: Optional[Tuple[int, int]] = None
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        shortcut = x
+        x = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm1")(x)
+
+        if self.dim != self.dim_out:
+            shortcut = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x)
+            if self.q_stride:
+                shortcut = _max_pool_2x(shortcut)
+
+        window_size = self.window_size
+        if window_size > 0:
+            h, w = x.shape[1], x.shape[2]
+            x, pad_hw = window_partition(x, window_size)
+
+        x = MultiScaleAttention(
+            dim_out=self.dim_out,
+            num_heads=self.num_heads,
+            q_pool=self.q_stride is not None,
+            dtype=self.dtype,
+            name="attn",
+        )(x)
+        if self.q_stride:
+            h, w = shortcut.shape[1:3]
+            if self.window_size > 0:
+                window_size = self.window_size // self.q_stride[0]
+                pad_h = (window_size - h % window_size) % window_size
+                pad_w = (window_size - w % window_size) % window_size
+                pad_hw = (h + pad_h, w + pad_w)
+
+        if self.window_size > 0:
+            x = window_unpartition(x, window_size, pad_hw, (h, w))
+
+        dp = DropPath(self.drop_path, name="drop_path")
+        x = shortcut + dp(x, deterministic)
+        y = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = MLP(
+            hidden_dim=int(self.dim_out * self.mlp_ratio),
+            output_dim=self.dim_out,
+            num_layers=2,
+            activation=gelu_exact,
+            dtype=self.dtype,
+            name="mlp",
+        )(y)
+        return x + dp(y, deterministic)
+
+
+class Hiera(nn.Module):
+    """Trunk producing one feature map per stage, high→low resolution."""
+
+    cfg: HieraConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.cfg
+        depth = sum(cfg.stages)
+        stage_ends = [sum(cfg.stages[: i + 1]) - 1 for i in range(len(cfg.stages))]
+        q_pool_blocks = [e + 1 for e in stage_ends[:-1]][: cfg.q_pool]
+
+        # Patch embed: 7x7/s4 conv
+        x = nn.Conv(
+            cfg.embed_dim,
+            (cfg.patch_kernel, cfg.patch_kernel),
+            strides=(cfg.patch_stride, cfg.patch_stride),
+            padding=(
+                (cfg.patch_padding, cfg.patch_padding),
+                (cfg.patch_padding, cfg.patch_padding),
+            ),
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        h, w = x.shape[1:3]
+
+        # Windowed background pos embed (reference hieradet.py:273-281)
+        bkg_h, bkg_w = cfg.window_pos_embed_bkg_spatial_size
+        pos_embed = self.param(
+            "pos_embed", nn.initializers.zeros, (1, bkg_h, bkg_w, cfg.embed_dim)
+        )
+        win = cfg.window_spec[0]
+        pos_embed_window = self.param(
+            "pos_embed_window", nn.initializers.zeros, (1, win, win, cfg.embed_dim)
+        )
+        pe = resize2d(pos_embed, (h, w), mode="cubic")
+        pe = pe + jnp.tile(pos_embed_window, (1, h // win, w // win, 1))
+        x = x + pe.astype(x.dtype)
+
+        dpr = [cfg.drop_path_rate * i / max(depth - 1, 1) for i in range(depth)]
+
+        outputs = []
+        dim = cfg.embed_dim
+        num_heads = cfg.num_heads
+        cur_stage = 1
+        for i in range(depth):
+            dim_out = dim
+            window_size = cfg.window_spec[cur_stage - 1]
+            if cfg.global_att_blocks and i in cfg.global_att_blocks:
+                window_size = 0
+            if i - 1 in stage_ends:
+                dim_out = int(dim * cfg.dim_mul)
+                num_heads = int(num_heads * cfg.head_mul)
+                cur_stage += 1
+            x = MultiScaleBlock(
+                dim=dim,
+                dim_out=dim_out,
+                num_heads=num_heads,
+                window_size=window_size,
+                q_stride=cfg.q_stride if i in q_pool_blocks else None,
+                mlp_ratio=cfg.mlp_ratio,
+                drop_path=dpr[i],
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x, deterministic)
+            dim = dim_out
+            if i in stage_ends:
+                outputs.append(x)  # NHWC
+
+        return outputs

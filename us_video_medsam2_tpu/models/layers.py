@@ -1,0 +1,158 @@
+"""Shared neural building blocks (flax.linen, NHWC / batch-first).
+
+Numerics notes vs the torch reference:
+- GELU is the exact erf form (torch nn.GELU default); flax's tanh approximation is
+  explicitly disabled.
+- LayerNorm epsilon is site-specific in the reference: 1e-6 inside Hiera blocks and
+  LayerNorm2d, torch-default 1e-5 everywhere else — so `eps` is always explicit here.
+- torch LayerNorm2d (reference sam2/modeling/sam2_utils.py:141-153) normalizes the
+  channel axis of NCHW; in NHWC that is a plain last-axis LayerNorm.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def gelu_exact(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+ACTIVATIONS: dict[str, Callable] = {
+    "relu": jax.nn.relu,
+    "gelu": gelu_exact,
+}
+
+
+class MLP(nn.Module):
+    """Stacked Dense with activation between layers (reference sam2_utils.py:112-136)."""
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+    activation: Callable = jax.nn.relu
+    sigmoid_output: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            out = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
+            x = nn.Dense(out, dtype=self.dtype, name=f"layers_{i}")(x)
+            if i < self.num_layers - 1:
+                x = self.activation(x)
+        if self.sigmoid_output:
+            x = jax.nn.sigmoid(x)
+        return x
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the last axis with explicit eps, f32 statistics."""
+
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,))
+        bias = self.param("bias", nn.initializers.zeros, (dim,))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (reference sam2_utils.py:92-107)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class Conv2d(nn.Module):
+    """NHWC conv with torch-compatible explicit padding."""
+
+    features: int
+    kernel_size: int | tuple[int, int]
+    stride: int = 1
+    padding: int = 0
+    groups: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ks = (
+            self.kernel_size
+            if isinstance(self.kernel_size, tuple)
+            else (self.kernel_size, self.kernel_size)
+        )
+        return nn.Conv(
+            self.features,
+            ks,
+            strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class ConvTranspose2x(nn.Module):
+    """2x2-stride-2 transposed conv as Dense + depth-to-space.
+
+    Mathematically identical to torch ConvTranspose2d(k=2, s=2) — each input pixel
+    independently produces a 2x2 output block — but lowers to a single MXU matmul
+    instead of a strided transposed convolution. Used by the mask-decoder upscaler
+    (reference sam/mask_decoder.py:65-75).
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        # weight laid out [in, 2, 2, out] so the import from torch [in,out,2,2] is a pure transpose
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (c, 2, 2, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jnp.einsum(
+            "bhwc,cuvf->bhuwvf",
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+        )
+        y = y.reshape(b, h * 2, w * 2, self.features) + bias.astype(self.dtype)
+        return y
+
+
+def patchify_conv(x, kernel, bias, stride: int, padding: int, dtype=jnp.float32):
+    """Conv2d expressed for importers; kernel [kh, kw, in, out]."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        kernel.astype(dtype),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + bias.astype(dtype)

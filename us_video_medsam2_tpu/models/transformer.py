@@ -1,0 +1,214 @@
+"""Attention modules: projected SDPA, RoPE attention, and the SAM two-way transformer.
+
+Parity targets: reference sam2/modeling/sam/transformer.py:44-360. Everything is
+batch-first [B, N, C]; softmax statistics are f32.
+
+RoPEAttention here takes the (cos, sin) axial tables as explicit call arguments —
+unlike the reference, which mutates a cached `freqs_cis` buffer per feature size
+(transformer.py:326-333) — so the module stays pure and jit/scan-friendly. The
+`num_k_exclude_rope` behaviour (object-pointer tokens are not rotated,
+transformer.py:332-338) becomes a static `rope_k_len`: keys beyond that length are
+passed through unrotated.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from us_video_medsam2_tpu.models.layers import MLP
+from us_video_medsam2_tpu.ops.attention import sdpa
+from us_video_medsam2_tpu.ops.posenc import apply_rope
+
+
+class Attention(nn.Module):
+    """Multi-head attention with optional internal downsampling and kv input dim.
+
+    (reference transformer.py:215-287)
+    """
+
+    embedding_dim: int
+    num_heads: int
+    downsample_rate: int = 1
+    kv_in_dim: Optional[int] = None
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def _heads(self, x):
+        b, n, c = x.shape
+        return x.reshape(b, n, self.num_heads, c // self.num_heads).transpose(0, 2, 1, 3)
+
+    @nn.compact
+    def __call__(self, q, k, v, key_mask=None, deterministic: bool = True):
+        internal_dim = self.embedding_dim // self.downsample_rate
+        q = nn.Dense(internal_dim, dtype=self.dtype, name="q_proj")(q)
+        k = nn.Dense(internal_dim, dtype=self.dtype, name="k_proj")(k)
+        v = nn.Dense(internal_dim, dtype=self.dtype, name="v_proj")(v)
+        out = sdpa(self._heads(q), self._heads(k), self._heads(v), key_mask=key_mask)
+        b, h, n, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+        return nn.Dense(self.embedding_dim, dtype=self.dtype, name="out_proj")(out)
+
+
+class RoPEAttention(nn.Module):
+    """Attention with axial rotary embedding on q and (part of) k.
+
+    (reference transformer.py:289-360)
+    """
+
+    embedding_dim: int
+    num_heads: int
+    downsample_rate: int = 1
+    kv_in_dim: Optional[int] = None
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def _heads(self, x):
+        b, n, c = x.shape
+        return x.reshape(b, n, self.num_heads, c // self.num_heads).transpose(0, 2, 1, 3)
+
+    @nn.compact
+    def __call__(
+        self,
+        q,
+        k,
+        v,
+        rope_cos,
+        rope_sin,
+        rope_k_len: Optional[int] = None,
+        rope_k_repeat: bool = False,
+        key_mask=None,
+        deterministic: bool = True,
+    ):
+        internal_dim = self.embedding_dim // self.downsample_rate
+        q = nn.Dense(internal_dim, dtype=self.dtype, name="q_proj")(q)
+        k = nn.Dense(internal_dim, dtype=self.dtype, name="k_proj")(k)
+        v = nn.Dense(internal_dim, dtype=self.dtype, name="v_proj")(v)
+        q, k, v = self._heads(q), self._heads(k), self._heads(v)
+
+        q = apply_rope(q, rope_cos, rope_sin)
+        lk = k.shape[-2]
+        n_rope = lk if rope_k_len is None else rope_k_len
+        if n_rope == lk:
+            k = apply_rope(
+                k, rope_cos, rope_sin, repeat_to_len=lk if rope_k_repeat else None
+            )
+        else:
+            k_rot = apply_rope(
+                k[:, :, :n_rope],
+                rope_cos,
+                rope_sin,
+                repeat_to_len=n_rope if rope_k_repeat else None,
+            )
+            k = jnp.concatenate([k_rot, k[:, :, n_rope:]], axis=-2)
+
+        out = sdpa(q, k, v, key_mask=key_mask)
+        b, h, n, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+        return nn.Dense(self.embedding_dim, dtype=self.dtype, name="out_proj")(out)
+
+
+class TwoWayAttentionBlock(nn.Module):
+    """Sparse self-attn, sparse->dense cross, MLP, dense->sparse cross.
+
+    (reference transformer.py:137-212)
+    """
+
+    embedding_dim: int
+    num_heads: int
+    mlp_dim: int = 2048
+    activation: Callable = jax.nn.relu
+    attention_downsample_rate: int = 2
+    skip_first_layer_pe: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, queries, keys, query_pe, key_pe):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
+        if self.skip_first_layer_pe:
+            queries = Attention(
+                self.embedding_dim, self.num_heads, dtype=self.dtype, name="self_attn"
+            )(queries, queries, queries)
+        else:
+            q = queries + query_pe
+            queries = queries + Attention(
+                self.embedding_dim, self.num_heads, dtype=self.dtype, name="self_attn"
+            )(q, q, queries)
+        queries = ln("norm1")(queries)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        queries = queries + Attention(
+            self.embedding_dim,
+            self.num_heads,
+            downsample_rate=self.attention_downsample_rate,
+            dtype=self.dtype,
+            name="cross_attn_token_to_image",
+        )(q, k, keys)
+        queries = ln("norm2")(queries)
+
+        queries = queries + MLP(
+            hidden_dim=self.mlp_dim,
+            output_dim=self.embedding_dim,
+            num_layers=2,
+            activation=self.activation,
+            dtype=self.dtype,
+            name="mlp",
+        )(queries)
+        queries = ln("norm3")(queries)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        keys = keys + Attention(
+            self.embedding_dim,
+            self.num_heads,
+            downsample_rate=self.attention_downsample_rate,
+            dtype=self.dtype,
+            name="cross_attn_image_to_token",
+        )(k, q, queries)
+        keys = ln("norm4")(keys)
+        return queries, keys
+
+
+class TwoWayTransformer(nn.Module):
+    """Depth-2 token<->image decoder transformer (reference transformer.py:44-134)."""
+
+    depth: int = 2
+    embedding_dim: int = 256
+    num_heads: int = 8
+    mlp_dim: int = 2048
+    attention_downsample_rate: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_embedding, image_pe, point_embedding):
+        """image_embedding/image_pe: [B, HW, C]; point_embedding: [B, N, C]."""
+        queries = point_embedding
+        keys = image_embedding
+        for i in range(self.depth):
+            queries, keys = TwoWayAttentionBlock(
+                embedding_dim=self.embedding_dim,
+                num_heads=self.num_heads,
+                mlp_dim=self.mlp_dim,
+                attention_downsample_rate=self.attention_downsample_rate,
+                skip_first_layer_pe=(i == 0),
+                dtype=self.dtype,
+                name=f"layers_{i}",
+            )(queries, keys, point_embedding, image_pe)
+
+        q = queries + point_embedding
+        k = keys + image_pe
+        queries = queries + Attention(
+            self.embedding_dim,
+            self.num_heads,
+            downsample_rate=self.attention_downsample_rate,
+            dtype=self.dtype,
+            name="final_attn_token_to_image",
+        )(q, k, keys)
+        queries = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_final_attn")(
+            queries
+        )
+        return queries, keys

@@ -1,0 +1,48 @@
+"""Scaled dot-product attention (XLA path).
+
+Batched multi-head SDPA with optional key masking, computed with f32 logits and
+softmax regardless of input dtype (bf16-safe). This is the portable baseline used
+by every attention site; hot sites can swap in the Pallas kernels from
+us_video_medsam2_tpu.kernels when available (same signature).
+
+Replaces torch F.scaled_dot_product_attention in the reference
+(sam2/modeling/sam/transformer.py:270, backbones/hieradet.py:70).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: jnp.ndarray | None = None,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Attention over [B, H, L, D] tensors.
+
+    Args:
+      q: [B, H, Lq, D]
+      k, v: [B, H, Lk, D] / [B, H, Lk, Dv]
+      key_mask: optional boolean [B, Lk] (True = attend); used to mask invalid
+        memory-bank slots in the fixed-shape memory attention.
+      scale: defaults to 1/sqrt(D).
+    """
+    d = q.shape[-1]
+    if scale is None:
+        scale = d ** -0.5
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if key_mask is not None:
+        logits = jnp.where(key_mask[:, None, None, :], logits, NEG_INF)
+    probs = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)
