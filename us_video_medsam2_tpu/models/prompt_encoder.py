@@ -94,7 +94,18 @@ class PromptEncoder(nn.Module):
         point_coords: jnp.ndarray,
         point_labels: jnp.ndarray,
         masks: Optional[jnp.ndarray] = None,
+        pad: bool = True,
     ):
+        if pad:
+            # reference always appends one padding point when no box prompt is
+            # present (prompt_encoder.py:86-91) — token count matters to attention
+            b = point_coords.shape[0]
+            point_coords = jnp.concatenate(
+                [point_coords, jnp.zeros((b, 1, 2), point_coords.dtype)], axis=1
+            )
+            point_labels = jnp.concatenate(
+                [point_labels, -jnp.ones((b, 1), point_labels.dtype)], axis=1
+            )
         sparse = self.embed_points(point_coords, point_labels)
         if masks is not None:
             dense = self.embed_masks(masks)
