@@ -1,0 +1,115 @@
+"""Connected components + hole filling on device.
+
+Replaces the reference's CUDA block-union-find extension
+(`sam2/csrc/connected_components.cu:20-289`, exposed as
+`sam2._C.get_connected_componnets` and used by
+`sam2/utils/misc.py:47-63,312-339` for hole filling and sprinkle removal).
+
+TPU recast: 8-connectivity label propagation with pointer-jumping. Each pixel in
+the foreground starts with its own linear index as label; iterations alternate
+
+  1. local step  — take the min label over the 8-neighborhood (masked),
+  2. jump steps  — label <- label[label] (path compression via gather),
+
+which converges in O(log(diameter)) outer iterations for any shape. Everything is
+static-shape and batched, so it jits and fuses into the surrounding mask
+postprocessing. Exactness is tested against cv2.connectedComponents.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.int32(2**30)
+
+
+def _neighbor_min(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
+    """Min label over the 8-neighborhood, restricted to foreground pixels."""
+    x = jnp.where(fg, labels, _INF)
+    p = jnp.pad(x, ((0, 0), (1, 1), (1, 1)), constant_values=_INF)
+    m = x
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            if dy == 1 and dx == 1:
+                continue
+            m = jnp.minimum(m, p[:, dy : dy + x.shape[1], dx : dx + x.shape[2]])
+    return jnp.where(fg, m, _INF)
+
+
+def connected_components(mask: jnp.ndarray, num_iters: int = 16):
+    """Label 8-connected components of a boolean mask.
+
+    Args:
+      mask: [B, H, W] bool — True pixels are labeled.
+      num_iters: outer iterations (each = 1 local min + 2 pointer jumps);
+        16 is exact for any practically occurring 128²-512² mask topology.
+
+    Returns:
+      labels: [B, H, W] int32 — 1-based component ids (0 = background), matching
+        the reference kernel's convention (labels > 0 on foreground).
+      areas:  [B, H, W] int32 — component pixel count broadcast per pixel
+        (0 on background), matching `get_connected_componnets`'s counts output.
+    """
+    b, h, w = mask.shape
+    fg = mask
+    hw = h * w
+    idx = jnp.arange(hw, dtype=jnp.int32).reshape(1, h, w)
+    labels = jnp.where(fg, jnp.broadcast_to(idx, mask.shape), _INF)
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+
+    def body(_, labels):
+        # 1. local: smallest label in the 8-neighborhood
+        nmin = jnp.minimum(labels, _neighbor_min(labels, fg))
+        flat = jnp.where(fg.reshape(b, hw), labels.reshape(b, hw), _INF)
+        cand = jnp.where(fg.reshape(b, hw), nmin.reshape(b, hw), _INF)
+        # 2. hook: scatter the smaller neighbor label onto the current root
+        root = jnp.where(flat < _INF, flat, 0)
+        flat = flat.at[rows, root].min(cand)
+        flat = jnp.where(fg.reshape(b, hw), flat, _INF)
+        # 3. compress: label <- label[label] (twice)
+        for _ in range(2):
+            safe = jnp.where(flat < _INF, flat, 0)
+            jumped = jnp.take_along_axis(flat, safe, axis=1)
+            flat = jnp.where(flat < _INF, jnp.minimum(flat, jumped), _INF)
+        return flat.reshape(b, h, w)
+
+    labels = jax.lax.fori_loop(0, num_iters, body, labels)
+
+    flat = labels.reshape(b, h * w)
+    ones = fg.reshape(b, h * w).astype(jnp.int32)
+    safe = jnp.where(flat < _INF, flat, 0)
+    counts = jnp.zeros((b, h * w), jnp.int32)
+    counts = counts.at[jnp.arange(b)[:, None], safe].add(ones)
+    areas = jnp.take_along_axis(counts, safe, axis=1).reshape(b, h, w)
+    areas = jnp.where(fg, areas, 0)
+    labels_out = jnp.where(fg, flat.reshape(b, h, w) + 1, 0)
+    return labels_out, areas
+
+
+def fill_holes_in_mask_scores(mask: jnp.ndarray, max_area: int) -> jnp.ndarray:
+    """Flip small background holes to a small positive score (0.1).
+
+    mask: [..., H, W] float logits. Mirrors reference sam2/utils/misc.py:312-339.
+    """
+    if max_area <= 0:
+        return mask
+    shape = mask.shape
+    flat = mask.reshape(-1, shape[-2], shape[-1])
+    _, areas = connected_components(flat <= 0)
+    is_hole = (areas > 0) & (areas <= max_area)
+    out = jnp.where(is_hole, jnp.asarray(0.1, mask.dtype), flat)
+    return out.reshape(shape)
+
+
+def remove_small_sprinkles(mask: jnp.ndarray, max_area: int) -> jnp.ndarray:
+    """Remove small disconnected foreground specks (reference transforms.py
+    postprocess_masks' second connected-components pass)."""
+    if max_area <= 0:
+        return mask
+    shape = mask.shape
+    flat = mask.reshape(-1, shape[-2], shape[-1])
+    _, areas = connected_components(flat > 0)
+    is_sprinkle = (areas > 0) & (areas <= max_area)
+    out = jnp.where(is_sprinkle, jnp.asarray(-10.0, mask.dtype), flat)
+    return out.reshape(shape)
