@@ -55,7 +55,7 @@ def install_reference_packages():
     _stub("iopath.common.file_io", g_pathmgr=None)
 
 
-def build_mini_sam2():
+def build_mini_sam2(cls=None, **extra_kwargs):
     from sam2.modeling.backbones.hieradet import Hiera
     from sam2.modeling.backbones.image_encoder import FpnNeck, ImageEncoder
     from sam2.modeling.memory_attention import MemoryAttention, MemoryAttentionLayer
@@ -115,7 +115,10 @@ def build_mini_sam2():
         fuser=Fuser(CXBlock(dim=64, kernel_size=7, padding=3, layer_scale_init_value=1e-6, use_dwconv=True), num_layers=2),
         in_dim=64,
     )
-    model = SAM2Base(
+    if cls is None:
+        cls = SAM2Base
+    model = cls(
+        **extra_kwargs,
         image_encoder=image_encoder,
         memory_attention=memory_attention,
         memory_encoder=memory_encoder,

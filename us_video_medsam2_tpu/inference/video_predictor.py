@@ -1,0 +1,461 @@
+"""Interactive video predictor — the TPU recast of SAM2VideoPredictor[NPZ].
+
+API mirrors reference sam2/sam2_video_predictor_npz.py (init_state /
+add_new_points_or_box / add_new_mask / propagate_in_video / reset_state), but the
+inference state is an explicit pytree and whole-video propagation is ONE compiled
+`lax.scan` over frames — no per-frame dispatch, no host round-trips, no
+recompilation across frames (the memory bank is fixed-shape, SURVEY §5).
+
+Workflow parity notes:
+- prompt calls run track_step with run_mem_encoder=False; memories for prompted
+  (conditioning) frames are encoded once at propagation preflight with
+  is_mask_from_pts=True — exactly the reference's consolidation behavior
+  (sam2_video_predictor.py:593-660, `_run_memory_encoder`).
+- hole filling (fill_hole_area) applies to low-res logits after each tracked
+  frame (reference `_run_single_frame_inference`, misc.py:312-339) — on device
+  via ops/connected_components.py instead of the CUDA `_C` extension.
+- every object is tracked as a batch row; the same frame features are shared
+  across objects (reference `_get_image_feature` expand, predictor:879-910).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from us_video_medsam2_tpu.core.config import SAM2Config
+from us_video_medsam2_tpu.inference.transforms import (
+    preprocess_images,
+    transform_boxes,
+    transform_coords,
+)
+from us_video_medsam2_tpu.models.memory_bank import (
+    MemoryBank,
+    init_memory_bank,
+    write_memory,
+)
+from us_video_medsam2_tpu.models.sam2 import SAM2Model, apply_non_overlapping_constraints
+from us_video_medsam2_tpu.ops.connected_components import fill_holes_in_mask_scores
+from us_video_medsam2_tpu.ops.resize import resize2d
+
+NO_OBJ_SCORE = -1024.0
+
+
+@dataclasses.dataclass
+class VideoPredictorState:
+    """Mutable host-side handle; device arrays inside are replaced functionally."""
+
+    images: jnp.ndarray  # [T, S, S, 3] normalized, model resolution
+    video_height: int
+    video_width: int
+    num_frames: int
+    max_objects: int
+    bank: MemoryBank
+    obj_ids: List[int] = dataclasses.field(default_factory=list)
+    # per cond frame: obj_idx -> dict(high_res_masks, obj_ptr, score) pending memory encode
+    pending: Dict[int, Dict[int, Dict]] = dataclasses.field(default_factory=dict)
+    # per cond frame low-res logits for yielding without recompute
+    cond_low_res: Dict[int, jnp.ndarray] = dataclasses.field(default_factory=dict)
+    frames_tracked: Dict[int, Dict] = dataclasses.field(default_factory=dict)
+
+    def obj_idx(self, obj_id: int) -> int:
+        if obj_id in self.obj_ids:
+            return self.obj_ids.index(obj_id)
+        assert len(self.obj_ids) < self.max_objects, (
+            f"too many objects: allocate init_state(..., max_objects>{self.max_objects})"
+        )
+        self.obj_ids.append(obj_id)
+        return len(self.obj_ids) - 1
+
+
+class SAM2VideoPredictor:
+    def __init__(
+        self,
+        model: SAM2Model,
+        params,
+        fill_hole_area: int = 8,
+        non_overlap_masks: bool = False,
+        bank_dtype=jnp.bfloat16,
+    ):
+        self.model = model
+        self.params = params
+        self.cfg: SAM2Config = model.cfg
+        self.fill_hole_area = fill_hole_area
+        self.non_overlap_masks = non_overlap_masks
+        # reference predictor stores spatial memories in bf16 (predictor:944)
+        self.bank_dtype = bank_dtype
+        self._encode_frame = jax.jit(self._encode_frame_impl)
+        self._prompt = jax.jit(
+            self._prompt_impl,
+            static_argnames=("num_frames", "multimask", "is_init", "use_mask", "has_prev"),
+        )
+        self._finalize = jax.jit(self._finalize_impl)
+        self._propagate = jax.jit(
+            self._propagate_impl, static_argnames=("num_frames", "reverse")
+        )
+        self._to_video_res = jax.jit(self._to_video_res_impl, static_argnames=("hw",))
+
+    # ------------------------------------------------------------- state mgmt
+    def init_state(
+        self,
+        images,
+        video_height: int,
+        video_width: int,
+        max_objects: int = 1,
+    ) -> VideoPredictorState:
+        """images: [T, S, S, 3] float normalized at model resolution (the NPZ
+        predictor contract, reference sam2_video_predictor_npz.py:44-63), or
+        [T, H, W, 3] uint8 to be preprocessed here."""
+        images = jnp.asarray(images)
+        if images.dtype == jnp.uint8:
+            images = preprocess_images(images, self.cfg.image_size)
+        t = images.shape[0]
+        hw = self.cfg.feat_size**2
+        bank = init_memory_bank(
+            max_objects, t, hw, self.cfg.mem_dim, self.cfg.hidden_dim,
+            dtype=self.bank_dtype, ptr_dtype=jnp.float32,
+        )
+        return VideoPredictorState(
+            images=images,
+            video_height=video_height,
+            video_width=video_width,
+            num_frames=t,
+            max_objects=max_objects,
+            bank=bank,
+        )
+
+    def reset_state(self, state: VideoPredictorState) -> VideoPredictorState:
+        hw = self.cfg.feat_size**2
+        state.bank = init_memory_bank(
+            state.max_objects, state.num_frames, hw, self.cfg.mem_dim,
+            self.cfg.hidden_dim, dtype=self.bank_dtype, ptr_dtype=jnp.float32,
+        )
+        state.obj_ids = []
+        state.pending = {}
+        state.cond_low_res = {}
+        state.frames_tracked = {}
+        return state
+
+    # ------------------------------------------------------------ jit bodies
+    def _encode_frame_impl(self, params, image):
+        out = self.model.apply(params, image, method=self.model.forward_image)
+        fpn = out["backbone_fpn"]
+        feats = {"top": fpn[-1]}
+        if self.cfg.use_high_res_features_in_sam:
+            feats["s0"], feats["s1"] = fpn[0], fpn[1]
+        return feats
+
+    def _prompt_impl(
+        self,
+        params,
+        images,
+        bank,
+        frame_idx,
+        obj_idx,
+        coords,
+        labels,
+        mask_input,
+        prev_logits,
+        *,
+        num_frames,
+        multimask,
+        is_init,
+        use_mask,
+        has_prev,
+    ):
+        feats = self._encode_frame_impl(params, images[frame_idx][None])
+        bank1 = jax.tree.map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, obj_idx, 1, 0), bank
+        )
+        out, _ = self.model.apply(
+            params,
+            frame_idx,
+            feats,
+            bank1,
+            num_frames,
+            coords if not use_mask else None,
+            labels if not use_mask else None,
+            mask_input if use_mask else None,
+            prev_logits if has_prev else None,
+            is_init_cond_frame=is_init,
+            is_cond_frame=True,
+            multimask_output=multimask,
+            run_mem_encoder=False,
+            method=self.model.track_step,
+        )
+        return out
+
+    def _finalize_impl(self, params, images, bank, frame_idx, high_res_masks, scores, obj_ptrs, obj_valid):
+        """Encode consolidated cond-frame memory for all objects, write bank."""
+        feats = self._encode_frame_impl(params, images[frame_idx][None])
+        o = high_res_masks.shape[0]
+        top = jnp.broadcast_to(feats["top"], (o, *feats["top"].shape[1:]))
+        if self.cfg.non_overlap_masks_for_mem_enc:
+            high_res_masks = apply_non_overlapping_constraints(high_res_masks)
+        maskmem = self.model.apply(
+            params,
+            top,
+            high_res_masks,
+            scores,
+            True,  # is_mask_from_pts: consolidation binarizes (predictor flag)
+            method=self.model.encode_memory,
+        )
+        b, hm, wm, md = maskmem.shape
+        bank = write_memory(
+            bank, frame_idx, maskmem.reshape(b, hm * wm, md), obj_ptrs, True
+        )
+        # objects never prompted on this frame keep slots valid (reference
+        # consolidation fills placeholders) but masked by NO_OBJ content
+        del obj_valid
+        return bank
+
+    def _propagate_impl(
+        self, params, images, bank, start_idx, *, num_frames, reverse
+    ):
+        cfg = self.cfg
+        o = bank.maskmem.shape[0]
+        fs = cfg.feat_size
+
+        def body(bank, i):
+            t = (num_frames - 1 - i) if reverse else i
+
+            def run(bank):
+                feats1 = self._encode_frame_impl(params, images[t][None])
+                feats = {
+                    k: jnp.broadcast_to(v, (o, *v.shape[1:])) for k, v in feats1.items()
+                }
+                out, bank = self.model.apply(
+                    params,
+                    t,
+                    feats,
+                    bank,
+                    num_frames,
+                    multimask_output=True,
+                    track_in_reverse=reverse,
+                    method=self.model.track_step,
+                )
+                low = out["low_res_masks"][:, 0]  # [O, 4fs, 4fs]
+                if self.fill_hole_area > 0:
+                    low = fill_holes_in_mask_scores(low, self.fill_hole_area)
+                return bank, low
+
+            def skip(bank):
+                return bank, jnp.full((o, 4 * fs, 4 * fs), NO_OBJ_SCORE, jnp.float32)
+
+            in_range = (t > start_idx) if not reverse else (t < start_idx)
+            is_cond = jnp.any(bank.is_cond[:, t] & bank.valid[:, t])
+            do_run = in_range & ~is_cond
+            bank, low = jax.lax.cond(do_run, run, skip, bank)
+            return bank, (low, do_run)
+
+        bank, (lows, ran) = jax.lax.scan(
+            body, bank, jnp.arange(num_frames, dtype=jnp.int32)
+        )
+        return bank, lows, ran
+
+    def _to_video_res_impl(self, low_res, *, hw):
+        x = resize2d(low_res[..., None].astype(jnp.float32), hw, mode="linear")[..., 0]
+        if self.non_overlap_masks:
+            x = apply_non_overlapping_constraints(x[:, None])[:, 0]
+        return x
+
+    # -------------------------------------------------------------- prompting
+    def add_new_points_or_box(
+        self,
+        state: VideoPredictorState,
+        frame_idx: int,
+        obj_id: int,
+        points=None,
+        labels=None,
+        box=None,
+        normalize_coords: bool = True,
+        prev_low_res_mask=None,
+    ):
+        """Returns (frame_idx, obj_ids, video_res_masks [O, 1, H, W] logits)."""
+        cfg = self.cfg
+        pts_list = []
+        lbl_list = []
+        if box is not None:
+            b = np.asarray(box, np.float32).reshape(1, 4)
+            if normalize_coords:
+                bpts = transform_boxes(b, (state.video_height, state.video_width), cfg.image_size)
+            else:
+                bpts = b.reshape(1, 2, 2)
+            pts_list.append(bpts.reshape(1, 2, 2))
+            lbl_list.append(np.array([[2, 3]], np.int32))
+        if points is not None:
+            p = np.asarray(points, np.float32).reshape(1, -1, 2)
+            if normalize_coords:
+                p = transform_coords(p, (state.video_height, state.video_width), cfg.image_size)
+            pts_list.append(p)
+            lbl_list.append(np.asarray(labels, np.int32).reshape(1, -1))
+        assert pts_list, "provide points and/or box"
+        coords = np.concatenate(pts_list, axis=1)
+        lbls = np.concatenate(lbl_list, axis=1)
+        num_pts = coords.shape[1]
+        multimask = (
+            cfg.multimask_output_in_sam
+            and cfg.multimask_min_pt_num <= num_pts <= cfg.multimask_max_pt_num
+        )
+        obj_idx = state.obj_idx(obj_id)
+        is_init = frame_idx not in state.frames_tracked
+
+        has_prev = prev_low_res_mask is not None
+        prev = (
+            jnp.asarray(prev_low_res_mask, jnp.float32).reshape(
+                1, 4 * cfg.feat_size, 4 * cfg.feat_size, 1
+            )
+            if has_prev
+            else jnp.zeros((1, 4 * cfg.feat_size, 4 * cfg.feat_size, 1))
+        )
+        out = self._prompt(
+            self.params,
+            state.images,
+            state.bank,
+            jnp.asarray(frame_idx),
+            jnp.asarray(obj_idx),
+            jnp.asarray(coords),
+            jnp.asarray(lbls),
+            jnp.zeros((1, cfg.image_size, cfg.image_size, 1)),
+            prev,
+            num_frames=state.num_frames,
+            multimask=multimask,
+            is_init=is_init,
+            use_mask=False,
+            has_prev=has_prev,
+        )
+        self._store_prompt_output(state, frame_idx, obj_idx, out)
+        return self._prompt_return(state, frame_idx)
+
+    def add_new_mask(self, state: VideoPredictorState, frame_idx: int, obj_id: int, mask):
+        """mask: [H, W] bool/float at any resolution (reference add_new_mask:321-408)."""
+        cfg = self.cfg
+        m = jnp.asarray(mask)
+        m = m.astype(jnp.float32)[..., None]
+        if m.shape[0] != cfg.image_size or m.shape[1] != cfg.image_size:
+            m = resize2d(m[None], (cfg.image_size, cfg.image_size), mode="linear", antialias=True)[0]
+            m = (m >= 0.5).astype(jnp.float32)
+        obj_idx = state.obj_idx(obj_id)
+        is_init = frame_idx not in state.frames_tracked
+        out = self._prompt(
+            self.params,
+            state.images,
+            state.bank,
+            jnp.asarray(frame_idx),
+            jnp.asarray(obj_idx),
+            jnp.zeros((1, 1, 2)),
+            -jnp.ones((1, 1), jnp.int32),
+            m[None],
+            jnp.zeros((1, 4 * cfg.feat_size, 4 * cfg.feat_size, 1)),
+            num_frames=state.num_frames,
+            multimask=False,
+            is_init=is_init,
+            use_mask=True,
+            has_prev=False,
+        )
+        self._store_prompt_output(state, frame_idx, obj_idx, out)
+        return self._prompt_return(state, frame_idx)
+
+    def _store_prompt_output(self, state, frame_idx, obj_idx, out):
+        state.pending.setdefault(frame_idx, {})[obj_idx] = {
+            "high_res_masks": out["high_res_masks"],
+            "low_res_masks": out["low_res_masks"],
+            "obj_ptr": out["obj_ptr"],
+            "score": out["object_score_logits"],
+        }
+
+    def _prompt_return(self, state, frame_idx):
+        o = state.max_objects
+        fs4 = 4 * self.cfg.feat_size
+        low = np.full((o, fs4, fs4), NO_OBJ_SCORE, np.float32)
+        for oi, rec in state.pending.get(frame_idx, {}).items():
+            low[oi] = np.asarray(rec["low_res_masks"][0, 0])
+        video = self._to_video_res(
+            jnp.asarray(low), hw=(state.video_height, state.video_width)
+        )
+        return frame_idx, list(state.obj_ids), np.asarray(video)[:, None]
+
+    # ------------------------------------------------------------ propagation
+    def propagate_in_video_preflight(self, state: VideoPredictorState):
+        """Encode memories for all pending prompted frames (consolidation)."""
+        cfg = self.cfg
+        o = state.max_objects
+        for frame_idx, per_obj in sorted(state.pending.items()):
+            high = jnp.full(
+                (o, 1, cfg.image_size, cfg.image_size), NO_OBJ_SCORE, jnp.float32
+            )
+            scores = jnp.full((o, 1), NO_OBJ_SCORE, jnp.float32)
+            ptrs = jnp.zeros((o, cfg.hidden_dim), jnp.float32)
+            valid = np.zeros((o,), bool)
+            for oi, rec in per_obj.items():
+                high = high.at[oi].set(rec["high_res_masks"][0].astype(jnp.float32))
+                scores = scores.at[oi].set(rec["score"][0].astype(jnp.float32))
+                ptrs = ptrs.at[oi].set(rec["obj_ptr"][0].astype(jnp.float32))
+                valid[oi] = True
+            state.bank = self._finalize(
+                self.params,
+                state.images,
+                state.bank,
+                jnp.asarray(frame_idx),
+                high,
+                scores,
+                ptrs,
+                jnp.asarray(valid),
+            )
+            low = np.full((o, 4 * cfg.feat_size, 4 * cfg.feat_size), NO_OBJ_SCORE, np.float32)
+            for oi, rec in per_obj.items():
+                low[oi] = np.asarray(rec["low_res_masks"][0, 0])
+            state.cond_low_res[frame_idx] = low
+        state.pending = {}
+
+    def propagate_in_video(
+        self,
+        state: VideoPredictorState,
+        start_frame_idx: Optional[int] = None,
+        max_frame_num_to_track: Optional[int] = None,
+        reverse: bool = False,
+    ) -> Iterator[Tuple[int, List[int], np.ndarray]]:
+        """Yields (frame_idx, obj_ids, video_res_mask_logits [O, 1, H, W])."""
+        self.propagate_in_video_preflight(state)
+        cond_frames = sorted(state.cond_low_res)
+        if not cond_frames:
+            raise RuntimeError("No prompts provided; add points/boxes/masks first")
+        if start_frame_idx is None:
+            start_frame_idx = min(cond_frames)
+        t0 = start_frame_idx
+        nf = state.num_frames
+        if reverse:
+            end = max(t0 - (max_frame_num_to_track or nf), 0)
+            order = range(t0, end - 1, -1) if t0 > 0 else []
+        else:
+            end = min(t0 + (max_frame_num_to_track or nf), nf - 1)
+            order = range(t0, end + 1)
+
+        bank, lows, ran = self._propagate(
+            self.params,
+            state.images,
+            state.bank,
+            jnp.asarray(t0),
+            num_frames=nf,
+            reverse=reverse,
+        )
+        state.bank = bank
+        lows_np = np.asarray(lows)  # scan order
+        ran_np = np.asarray(ran)
+        hw = (state.video_height, state.video_width)
+        for t in order:
+            i = (nf - 1 - t) if reverse else t  # scan index of frame t
+            if ran_np[i]:
+                low = lows_np[i]
+                state.frames_tracked[t] = {"reverse": reverse}
+            elif t in state.cond_low_res:
+                low = state.cond_low_res[t]
+            else:
+                continue
+            video = self._to_video_res(jnp.asarray(low), hw=hw)
+            yield t, list(state.obj_ids), np.asarray(video)[:, None]

@@ -42,11 +42,13 @@ class MemoryBank:
 
 def init_memory_bank(
     batch: int, num_frames: int, mem_hw: int, mem_dim: int, hidden_dim: int,
-    dtype=jnp.float32,
+    dtype=jnp.float32, ptr_dtype=None,
 ) -> MemoryBank:
+    """ptr_dtype defaults to dtype; the reference predictor stores maskmem in
+    bfloat16 (`sam2_video_predictor.py:944`) but object pointers at compute dtype."""
     return MemoryBank(
         maskmem=jnp.zeros((batch, num_frames, mem_hw, mem_dim), dtype),
-        obj_ptr=jnp.zeros((batch, num_frames, hidden_dim), dtype),
+        obj_ptr=jnp.zeros((batch, num_frames, hidden_dim), ptr_dtype or dtype),
         valid=jnp.zeros((batch, num_frames), bool),
         is_cond=jnp.zeros((batch, num_frames), bool),
     )
