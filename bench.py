@@ -1,0 +1,82 @@
+"""Video-propagation FPS benchmark (the reference's headline harness).
+
+Port of reference efficient_track_anything/benchmark.py:44-106: prompt frame 0
+with a click, propagate through the video, report frames/sec. Here the whole
+propagation is one compiled lax.scan on device, bf16 compute.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is against SAM2.1-tiny's published ~47 FPS at 512² on A100-class
+GPUs (reference README.md:156-181 citations; the repo itself commits no numbers,
+BASELINE.md).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_BASELINE_FPS = 47.0
+
+
+def main():
+    from us_video_medsam2_tpu.core.config import SAM2Config
+    from us_video_medsam2_tpu.inference.video_predictor import SAM2VideoPredictor
+    from us_video_medsam2_tpu.models.sam2 import SAM2Model
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    num_frames = 64 if on_tpu else 4
+    warmup_runs, timed_runs = (2, 5) if on_tpu else (1, 1)
+
+    cfg = SAM2Config()
+    model = SAM2Model(cfg, dtype=jnp.bfloat16)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+    )
+
+    predictor = SAM2VideoPredictor(model, params, fill_hole_area=8)
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(
+        rng.standard_normal((num_frames, cfg.image_size, cfg.image_size, 3)),
+        jnp.float32,
+    )
+
+    def run():
+        state = predictor.init_state(video, cfg.image_size, cfg.image_size, 1)
+        predictor.add_new_points_or_box(
+            state, 0, 1, points=np.array([[256.0, 256.0]]), labels=np.array([1])
+        )
+        predictor.propagate_in_video_preflight(state)
+        _, _, ran = predictor._propagate(
+            predictor.params,
+            state.images,
+            state.bank,
+            jnp.asarray(0),
+            num_frames=state.num_frames,
+            reverse=False,
+        )
+        return ran.block_until_ready()
+
+    for _ in range(warmup_runs):
+        run()
+    t0 = time.perf_counter()
+    for _ in range(timed_runs):
+        run()
+    dt = time.perf_counter() - t0
+    fps = timed_runs * (num_frames - 1) / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "video_propagation_fps_512_hiera_tiny",
+                "value": round(fps, 2),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

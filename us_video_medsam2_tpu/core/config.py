@@ -273,7 +273,7 @@ def efficienttam_s_512() -> SAM2Config:
         proj_tpos_enc_in_obj_ptrs=False,
         use_signed_tpos_enc_to_obj_ptrs=False,
         no_obj_embed_spatial=False,
-        memory_attention=MemoryAttentionConfig(efficient_pool_size=8),
+        memory_attention=MemoryAttentionConfig(efficient_pool_size=2),
     )
 
 

@@ -413,13 +413,26 @@ class SAM2Model(nn.Module):
             masks = apply_non_overlapping_constraints(
                 masks.transpose(0, 3, 1, 2)
             ).transpose(0, 2, 3, 1)
-        binarize = (
-            c.binarize_mask_from_pts_for_mem_enc and is_mask_from_pts and not is_training
-        )
-        if binarize:
-            mask_for_mem = (masks > 0).astype(jnp.float32)
+        # is_mask_from_pts may be a static bool or a traced bool (training-time
+        # prompt simulation decides the prompt mode on device)
+        if isinstance(is_mask_from_pts, bool):
+            binarize = (
+                c.binarize_mask_from_pts_for_mem_enc
+                and is_mask_from_pts
+                and not is_training
+            )
+            if binarize:
+                mask_for_mem = (masks > 0).astype(jnp.float32)
+            else:
+                mask_for_mem = jax.nn.sigmoid(masks.astype(jnp.float32))
         else:
-            mask_for_mem = jax.nn.sigmoid(masks.astype(jnp.float32))
+            soft = jax.nn.sigmoid(masks.astype(jnp.float32))
+            if c.binarize_mask_from_pts_for_mem_enc and not is_training:
+                mask_for_mem = jnp.where(
+                    is_mask_from_pts, (masks > 0).astype(jnp.float32), soft
+                )
+            else:
+                mask_for_mem = soft
         mask_for_mem = (
             mask_for_mem * c.sigmoid_scale_for_mem_enc + c.sigmoid_bias_for_mem_enc
         )

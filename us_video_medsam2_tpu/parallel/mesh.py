@@ -1,0 +1,68 @@
+"""Device mesh + sharding utilities.
+
+TPU-native replacement for the reference's torch.distributed/DDP stack
+(reference training/utils/distributed.py, trainer.py:291-311): one
+`jax.sharding.Mesh` over ICI/DCN; data parallelism = batch-axis sharding under
+jit (XLA inserts the gradient all-reduces); multi-host init via
+`jax.distributed.initialize`. The mesh keeps named axes so tensor/sequence/
+context parallel shardings can be layered on later without API changes
+(SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_initialize_distributed():
+    """Multi-host init (no-op single host). Replaces env-var rendezvous +
+    init_process_group (reference train_utils.py:66-78)."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def create_mesh(
+    axis_names: Sequence[str] = ("data",),
+    axis_sizes: Optional[Sequence[int]] = None,
+    devices=None,
+) -> Mesh:
+    """Build a mesh over all devices. Default: pure data parallelism.
+
+    axis_sizes: per-axis sizes; a single -1 infers from the device count.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if axis_sizes is None:
+        axis_sizes = [n] + [1] * (len(axis_names) - 1)
+    sizes = list(axis_sizes)
+    if -1 in sizes:
+        known = int(np.prod([s for s in sizes if s != -1]))
+        sizes[sizes.index(-1)] = n // known
+    assert int(np.prod(sizes)) == n, f"mesh {sizes} != {n} devices"
+    return Mesh(devices.reshape(sizes), axis_names)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis: int = 0, mesh_axis: str = "data") -> NamedSharding:
+    spec = [None] * (axis + 1)
+    spec[axis] = mesh_axis
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_pytree_batch(tree, mesh: Mesh, axis: int = 0, mesh_axis: str = "data"):
+    """Place every leaf with its `axis` dim sharded over the data axis."""
+    sh = batch_sharding(mesh, axis, mesh_axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def replicate_pytree(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

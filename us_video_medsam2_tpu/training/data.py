@@ -1,0 +1,747 @@
+"""Video-segmentation data pipeline (host-side, numpy/cv2).
+
+Re-provides the reference's dataset stack (SURVEY §2.2):
+- raw video datasets over NPZ medical videos (`imgs` [T,H,W] uint8 grayscale,
+  `gts` [T,H,W] int labels) and PNG-annotated folders
+  (reference training/dataset/vos_raw_dataset.py:1040-1115, 196-287)
+- curriculum variants: first-frame-entropy stage filtering (QuantumNPZRawDataset,
+  vos_raw_dataset.py:746-894 — the one wired into the shipped configs),
+  entropy-ordered (AES, 470-636) and temporal-FFT-ordered (NeuroSpectral, 638-744)
+- RandomUniformSampler / EvalSampler (vos_sampler.py:31-105)
+- video-consistent augmentations (transforms.py: hflip, affine w/ visibility
+  retry, square resize, color jitter consistent/per-frame, grayscale, gaussian
+  noise/blur for the FLARE config)
+- repeat-factor oversampling (dataset/utils.py:42-104), probability-mixed
+  multi-dataset loading with per-host sharding, phases_per_epoch chunking and
+  the curriculum stage hook (sam2_datasets.py:19-135, 88-118)
+
+Output batches are TPU-ready numpy arrays: images [T, B, S, S, 3] float32
+(ImageNet-normalized), masks [T, B, O, S, S] bool with padded object slots and
+an obj_valid [B, O] mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import random
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+IMG_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMG_STD = np.array([0.229, 0.224, 0.225], np.float32)
+MAX_RETRIES = 100
+
+
+# --------------------------------------------------------------------- records
+@dataclasses.dataclass
+class VOSFrame:
+    frame_idx: int
+    data: np.ndarray  # [H, W, 3] float32 in [0, 1]
+
+
+@dataclasses.dataclass
+class VOSVideo:
+    video_name: str
+    video_id: int
+    frames: List[VOSFrame]
+
+
+class NPZSegmentLoader:
+    """Per-frame {obj_id: [H, W] bool} from an in-memory label array
+    (reference vos_segment_loader.py:304-320)."""
+
+    def __init__(self, masks: np.ndarray):
+        self.masks = masks
+
+    def load(self, frame_idx: int) -> Dict[int, np.ndarray]:
+        m = self.masks[frame_idx]
+        return {int(i): m == i for i in np.unique(m) if i != 0}
+
+
+class PalettePNGSegmentLoader:
+    """Palettised PNG masks <video>/<frame:05d>.png (reference vos_segment_loader.py:103-150)."""
+
+    def __init__(self, video_png_root: str):
+        self.root = video_png_root
+        self.frame_id_to_png = {
+            int(os.path.splitext(p)[0]): os.path.join(video_png_root, p)
+            for p in os.listdir(video_png_root)
+            if p.endswith(".png")
+        }
+
+    def load(self, frame_idx: int) -> Dict[int, np.ndarray]:
+        from PIL import Image
+
+        m = np.array(Image.open(self.frame_id_to_png[frame_idx]))
+        return {int(i): m == i for i in np.unique(m) if i != 0}
+
+
+# ----------------------------------------------------------------- raw datasets
+class VOSRawDataset:
+    def get_video(self, idx: int) -> Tuple[VOSVideo, object]:
+        raise NotImplementedError
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def set_epoch(self, epoch: int) -> None:  # curriculum hook
+        pass
+
+
+class NPZRawDataset(VOSRawDataset):
+    """NPZ folder dataset (reference vos_raw_dataset.py:1040-1115; grayscale ->
+    3-channel repeat, optional frame subsampling/truncation)."""
+
+    def __init__(
+        self,
+        folder: str,
+        file_list_txt: Optional[str] = None,
+        excluded_videos_list_txt: Optional[str] = None,
+        sample_rate: int = 1,
+        truncate_video: int = -1,
+        require_gt_presence: bool = False,
+    ):
+        self.folder = folder
+        self.sample_rate = sample_rate
+        self.truncate_video = truncate_video
+
+        subset = []
+        for root, _, files in os.walk(folder):
+            for f in files:
+                if f.endswith(".npz"):
+                    rel = os.path.relpath(os.path.join(root, f), folder)
+                    subset.append(os.path.splitext(rel)[0])
+        if file_list_txt is not None:
+            with open(file_list_txt) as f:
+                keep = {line.strip() for line in f}
+            subset = [v for v in subset if v in keep]
+        excluded = set()
+        if excluded_videos_list_txt is not None:
+            with open(excluded_videos_list_txt) as f:
+                excluded = {os.path.splitext(line.strip())[0] for line in f}
+        self.video_names = sorted(v for v in subset if v not in excluded)
+        if require_gt_presence:
+            # keep only videos whose first frame has ≥1 labeled object
+            # (reference NPZRawDataset GT-presence variant, vos_raw_dataset.py:365-454)
+            kept = []
+            for v in self.video_names:
+                try:
+                    gts = np.load(os.path.join(folder, f"{v}.npz"))["gts"]
+                    if (gts != 0).any():
+                        kept.append(v)
+                except Exception as e:  # noqa: BLE001
+                    logging.warning("skipping %s: %s", v, e)
+            self.video_names = kept
+
+    def _load_npz(self, video_name: str):
+        data = np.load(os.path.join(self.folder, f"{video_name}.npz"))
+        frames = data["imgs"].astype(np.float32) / 255.0  # [T, H, W]
+        if frames.ndim == 3:
+            frames = np.repeat(frames[..., None], 3, axis=-1)
+        masks = data["gts"]
+        if self.truncate_video > 0:
+            frames = frames[: self.truncate_video]
+            masks = masks[: self.truncate_video]
+        return frames[:: self.sample_rate], masks[:: self.sample_rate]
+
+    def get_video(self, idx: int):
+        name = self.video_names[idx]
+        frames, masks = self._load_npz(name)
+        vos_frames = [
+            VOSFrame(i * self.sample_rate, data=frames[i]) for i in range(len(frames))
+        ]
+        return VOSVideo(name, idx, vos_frames), NPZSegmentLoader(masks)
+
+    def __len__(self):
+        return len(self.video_names)
+
+
+def _first_frame_entropy(folder: str, video_name: str) -> float:
+    img0 = np.load(os.path.join(folder, f"{video_name}.npz"))["imgs"][0]
+    if img0.ndim == 3:
+        img0 = img0.mean(axis=-1)
+    hist, _ = np.histogram(img0.ravel(), bins=32)
+    prob = hist / (hist.sum() + 1e-8)
+    return float(-np.sum(prob * np.log(prob + 1e-10)))
+
+
+class QuantumNPZRawDataset(NPZRawDataset):
+    """Entropy-staged curriculum: dense (<2.5) -> expand (<3.5) -> full, with a
+    5-video floor (reference vos_raw_dataset.py:746-894 — wired in GFTE_3.yaml:221)."""
+
+    def __init__(self, folder: str, milestones: Optional[Dict[str, int]] = None, **kw):
+        super().__init__(folder, **kw)
+        self.milestones = milestones or {"expand": 20, "full": 50}
+        self.all_video_names = list(self.video_names)
+        self.stage = "dense"
+        self._apply_filter()
+
+    def set_epoch(self, epoch: int):
+        if epoch >= self.milestones.get("full", 50):
+            stage = "full"
+        elif epoch >= self.milestones.get("expand", 20):
+            stage = "expand"
+        else:
+            stage = "dense"
+        if stage != self.stage:
+            self.stage = stage
+            self._apply_filter()
+
+    def force_stage(self, stage: str):
+        self.stage = stage
+        self._apply_filter()
+
+    def _apply_filter(self):
+        if self.stage == "full":
+            self.video_names = sorted(self.all_video_names)
+            return
+        thresh = 2.5 if self.stage == "dense" else 3.5
+        filtered = []
+        for v in self.all_video_names:
+            try:
+                if _first_frame_entropy(self.folder, v) < thresh:
+                    filtered.append(v)
+            except Exception as e:  # noqa: BLE001
+                logging.warning("[QuantumNPZRawDataset] skip %s: %s", v, e)
+        if len(filtered) < 5:
+            filtered = self.all_video_names[: min(10, len(self.all_video_names))]
+        self.video_names = sorted(filtered)
+
+
+class AESCurriculumNPZRawDataset(NPZRawDataset):
+    """Entropy-ordered curriculum: easy-first prefix grows with epochs
+    (reference vos_raw_dataset.py:470-636)."""
+
+    def __init__(self, folder: str, warmup_epochs: int = 30, **kw):
+        super().__init__(folder, **kw)
+        self.warmup_epochs = warmup_epochs
+        ent = {v: _first_frame_entropy(self.folder, v) for v in self.video_names}
+        self.ordered = sorted(self.video_names, key=lambda v: ent[v])
+        self.set_epoch(0)
+
+    def set_epoch(self, epoch: int):
+        frac = min(1.0, 0.3 + 0.7 * epoch / max(self.warmup_epochs, 1))
+        n = max(1, int(len(self.ordered) * frac))
+        self.video_names = sorted(self.ordered[:n])
+
+
+class NeuroSpectralNPZRawDataset(NPZRawDataset):
+    """Temporal-FFT difficulty ordering: videos with less high-frequency temporal
+    energy first (reference vos_raw_dataset.py:638-744)."""
+
+    def __init__(self, folder: str, warmup_epochs: int = 30, **kw):
+        super().__init__(folder, **kw)
+        self.warmup_epochs = warmup_epochs
+        scores = {}
+        for v in self.video_names:
+            try:
+                imgs = np.load(os.path.join(folder, f"{v}.npz"))["imgs"]
+                sig = imgs.reshape(imgs.shape[0], -1).mean(axis=1)
+                spec = np.abs(np.fft.rfft(sig - sig.mean()))
+                half = max(1, len(spec) // 2)
+                scores[v] = float(spec[half:].sum() / (spec.sum() + 1e-8))
+            except Exception:  # noqa: BLE001
+                scores[v] = 1.0
+        self.ordered = sorted(self.video_names, key=lambda v: scores[v])
+        self.set_epoch(0)
+
+    def set_epoch(self, epoch: int):
+        frac = min(1.0, 0.3 + 0.7 * epoch / max(self.warmup_epochs, 1))
+        n = max(1, int(len(self.ordered) * frac))
+        self.video_names = sorted(self.ordered[:n])
+
+
+class PNGRawDataset(VOSRawDataset):
+    """JPEG frames + palettised PNG masks per video folder
+    (reference vos_raw_dataset.py:196-287)."""
+
+    def __init__(
+        self,
+        img_folder: str,
+        gt_folder: str,
+        file_list_txt: Optional[str] = None,
+        sample_rate: int = 1,
+        truncate_video: int = -1,
+    ):
+        self.img_folder = img_folder
+        self.gt_folder = gt_folder
+        self.sample_rate = sample_rate
+        self.truncate_video = truncate_video
+        if file_list_txt is not None:
+            with open(file_list_txt) as f:
+                self.video_names = sorted(line.strip() for line in f if line.strip())
+        else:
+            self.video_names = sorted(os.listdir(img_folder))
+
+    def get_video(self, idx: int):
+        from PIL import Image
+
+        name = self.video_names[idx]
+        vdir = os.path.join(self.img_folder, name)
+        files = sorted(f for f in os.listdir(vdir) if f.endswith((".jpg", ".jpeg", ".png")))
+        if self.truncate_video > 0:
+            files = files[: self.truncate_video]
+        frames = []
+        for i, f in enumerate(files[:: self.sample_rate]):
+            img = np.asarray(Image.open(os.path.join(vdir, f)).convert("RGB"), np.float32)
+            frames.append(VOSFrame(i * self.sample_rate, data=img / 255.0))
+        loader = PalettePNGSegmentLoader(os.path.join(self.gt_folder, name))
+        return VOSVideo(name, idx, frames), loader
+
+    def __len__(self):
+        return len(self.video_names)
+
+
+# -------------------------------------------------------------------- samplers
+@dataclasses.dataclass
+class SampledFramesAndObjects:
+    frames: List[VOSFrame]
+    object_ids: List[int]
+
+
+class RandomUniformSampler:
+    """Random contiguous window whose first frame has ≥1 visible object
+    (reference vos_sampler.py:31-78)."""
+
+    def __init__(self, num_frames: int, max_num_objects: int, reverse_time_prob: float = 0.0):
+        self.num_frames = num_frames
+        self.max_num_objects = max_num_objects
+        self.reverse_time_prob = reverse_time_prob
+
+    def sample(self, video: VOSVideo, segment_loader, epoch=None):
+        if len(video.frames) < self.num_frames:
+            raise ValueError(
+                f"cannot sample {self.num_frames} frames from {video.video_name}"
+            )
+        for retry in range(1000):
+            start = random.randrange(0, len(video.frames) - self.num_frames + 1)
+            frames = [video.frames[start + s] for s in range(self.num_frames)]
+            if random.uniform(0, 1) < self.reverse_time_prob:
+                frames = frames[::-1]
+            visible = [
+                oid
+                for oid, seg in segment_loader.load(frames[0].frame_idx).items()
+                if seg.sum()
+            ]
+            if visible:
+                break
+        else:
+            raise RuntimeError("no visible objects")
+        object_ids = random.sample(visible, min(len(visible), self.max_num_objects))
+        return SampledFramesAndObjects(frames=frames, object_ids=object_ids)
+
+
+class EvalSampler:
+    """All frames, all first-frame objects (reference vos_sampler.py:81-105)."""
+
+    def sample(self, video: VOSVideo, segment_loader, epoch=None):
+        frames = sorted(video.frames, key=lambda x: x.frame_idx)
+        object_ids = list(segment_loader.load(frames[0].frame_idx).keys())
+        if not object_ids:
+            raise ValueError("first frame has no objects")
+        return SampledFramesAndObjects(frames=frames, object_ids=object_ids)
+
+
+# ------------------------------------------------------------------ transforms
+class VideoDatapoint:
+    def __init__(self, images: List[np.ndarray], masks: List[Dict[int, np.ndarray]]):
+        self.images = images  # [H, W, 3] float32 per frame
+        self.masks = masks  # {obj_id: [H, W] bool} per frame
+
+
+class RandomHorizontalFlip:
+    def __init__(self, consistent_transform=True, p=0.5):
+        self.p = p
+
+    def __call__(self, dp: VideoDatapoint) -> VideoDatapoint:
+        if random.random() < self.p:
+            dp.images = [img[:, ::-1] for img in dp.images]
+            dp.masks = [
+                {k: m[:, ::-1] for k, m in frame.items()} for frame in dp.masks
+            ]
+        return dp
+
+
+class RandomAffine:
+    """Consistent affine with retry-until-objects-visible
+    (reference transforms.py:332-430)."""
+
+    def __init__(
+        self,
+        degrees: float = 25.0,
+        shear: float = 20.0,
+        translate: Optional[float] = None,
+        image_interpolation: str = "bilinear",
+        consistent_transform: bool = True,
+        num_retries: int = 10,
+    ):
+        self.degrees = degrees
+        self.shear = shear
+        self.translate = translate
+        self.num_retries = num_retries
+
+    def _matrix(self, h, w):
+        angle = random.uniform(-self.degrees, self.degrees)
+        shear_x = random.uniform(-self.shear, self.shear)
+        tx = ty = 0.0
+        if self.translate:
+            tx = random.uniform(-self.translate, self.translate) * w
+            ty = random.uniform(-self.translate, self.translate) * h
+        center = (w / 2.0, h / 2.0)
+        rot = cv2.getRotationMatrix2D(center, angle, 1.0)
+        sh = np.tan(np.deg2rad(shear_x))
+        shear_m = np.array([[1, sh, -sh * center[1]], [0, 1, 0]], np.float64)
+        m = np.vstack([rot, [0, 0, 1]]) @ np.vstack([shear_m, [0, 0, 1]])
+        m[0, 2] += tx
+        m[1, 2] += ty
+        return m[:2]
+
+    def __call__(self, dp: VideoDatapoint) -> VideoDatapoint:
+        if cv2 is None:
+            return dp
+        h, w = dp.images[0].shape[:2]
+        for _ in range(self.num_retries):
+            m = self._matrix(h, w)
+            new_masks = []
+            ok = True
+            for frame in dp.masks:
+                fm = {}
+                for k, mask in frame.items():
+                    warped = cv2.warpAffine(
+                        mask.astype(np.uint8), m, (w, h), flags=cv2.INTER_NEAREST
+                    ).astype(bool)
+                    fm[k] = warped
+                new_masks.append(fm)
+            # every object visible on the first frame must stay visible
+            for k, mask in dp.masks[0].items():
+                if mask.sum() and not new_masks[0][k].sum():
+                    ok = False
+                    break
+            if ok:
+                dp.images = [
+                    cv2.warpAffine(img, m, (w, h), flags=cv2.INTER_LINEAR)
+                    for img in dp.images
+                ]
+                dp.masks = new_masks
+                return dp
+        return dp  # give up on augmenting (reference keeps original after retries)
+
+
+class RandomResizeAPI:
+    def __init__(self, sizes, square=True, consistent_transform=True):
+        self.size = sizes if isinstance(sizes, int) else random.choice(list(sizes))
+
+    def __call__(self, dp: VideoDatapoint) -> VideoDatapoint:
+        s = self.size
+        dp.images = [
+            cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR) for img in dp.images
+        ]
+        dp.masks = [
+            {
+                k: cv2.resize(m.astype(np.uint8), (s, s), interpolation=cv2.INTER_NEAREST).astype(bool)
+                for k, m in frame.items()
+            }
+            for frame in dp.masks
+        ]
+        return dp
+
+
+class ColorJitter:
+    def __init__(
+        self,
+        consistent_transform=True,
+        brightness=0.1,
+        contrast=0.03,
+        saturation=0.03,
+        hue=None,
+    ):
+        self.consistent = consistent_transform
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+
+    def _factors(self):
+        def f(v):
+            return random.uniform(max(0.0, 1 - v), 1 + v) if v else 1.0
+
+        return f(self.brightness), f(self.contrast), f(self.saturation)
+
+    @staticmethod
+    def _apply(img, b, c, s):
+        img = img * b
+        gray = img.mean(axis=-1, keepdims=True)
+        img = (img - gray.mean()) * c + gray.mean()
+        img = gray + (img - gray) * s
+        return np.clip(img, 0.0, 1.0)
+
+    def __call__(self, dp: VideoDatapoint) -> VideoDatapoint:
+        if self.consistent:
+            b, c, s = self._factors()
+            dp.images = [self._apply(img, b, c, s) for img in dp.images]
+        else:
+            dp.images = [self._apply(img, *self._factors()) for img in dp.images]
+        return dp
+
+
+class RandomGrayscale:
+    def __init__(self, p=0.05, consistent_transform=True):
+        self.p = p
+
+    def __call__(self, dp: VideoDatapoint) -> VideoDatapoint:
+        if random.random() < self.p:
+            dp.images = [
+                np.repeat(img.mean(axis=-1, keepdims=True), 3, axis=-1)
+                for img in dp.images
+            ]
+        return dp
+
+
+class RandomGaussianNoise:
+    """FLARE config extra (reference transforms.py:561-600)."""
+
+    def __init__(self, p=0.5, sigma=0.02):
+        self.p = p
+        self.sigma = sigma
+
+    def __call__(self, dp: VideoDatapoint) -> VideoDatapoint:
+        if random.random() < self.p:
+            dp.images = [
+                np.clip(img + np.random.randn(*img.shape).astype(np.float32) * self.sigma, 0, 1)
+                for img in dp.images
+            ]
+        return dp
+
+
+class RandomGaussianBlur:
+    def __init__(self, p=0.5, kernel_size=5, sigma=(0.1, 2.0)):
+        self.p = p
+        self.kernel_size = kernel_size
+        self.sigma = sigma
+
+    def __call__(self, dp: VideoDatapoint) -> VideoDatapoint:
+        if cv2 is not None and random.random() < self.p:
+            sig = random.uniform(*self.sigma)
+            dp.images = [
+                cv2.GaussianBlur(img, (self.kernel_size, self.kernel_size), sig)
+                for img in dp.images
+            ]
+        return dp
+
+
+class NormalizeAPI:
+    def __init__(self, mean=IMG_MEAN, std=IMG_STD):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, dp: VideoDatapoint) -> VideoDatapoint:
+        dp.images = [(img - self.mean) / self.std for img in dp.images]
+        return dp
+
+
+class ComposeAPI:
+    def __init__(self, transforms: Sequence):
+        self.transforms = list(transforms)
+
+    def __call__(self, dp: VideoDatapoint) -> VideoDatapoint:
+        for t in self.transforms:
+            dp = t(dp)
+        return dp
+
+
+def default_train_transforms(resolution: int = 512) -> ComposeAPI:
+    """GFTE_3.yaml:20-54's augmentation stack."""
+    return ComposeAPI(
+        [
+            RandomHorizontalFlip(),
+            RandomAffine(degrees=25, shear=20),
+            RandomResizeAPI(resolution),
+            ColorJitter(True, 0.1, 0.03, 0.03),
+            RandomGrayscale(0.05),
+            ColorJitter(False, 0.1, 0.05, 0.05),
+            NormalizeAPI(),
+        ]
+    )
+
+
+# ------------------------------------------------------------------ VOSDataset
+class VOSDataset:
+    """raw dataset + sampler + transforms with failure retries
+    (reference vos_dataset.py:27-162)."""
+
+    def __init__(
+        self,
+        video_dataset: VOSRawDataset,
+        sampler,
+        transforms: Optional[ComposeAPI] = None,
+        multiplier: int = 1,
+        training: bool = True,
+        max_num_objects: int = 5,
+    ):
+        self.video_dataset = video_dataset
+        self.sampler = sampler
+        self.transforms = transforms
+        self.repeat_factors = [multiplier] * len(video_dataset)
+        self.training = training
+        self.max_num_objects = max_num_objects
+        self.curr_epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.curr_epoch = epoch
+        self.video_dataset.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.video_dataset)
+
+    def _get_datapoint_once(self, idx: int) -> VideoDatapoint:
+        video, segment_loader = self.video_dataset.get_video(idx)
+        sampled = self.sampler.sample(video, segment_loader, epoch=self.curr_epoch)
+        images, masks = [], []
+        h, w = sampled.frames[0].data.shape[:2]
+        for frame in sampled.frames:
+            images.append(np.ascontiguousarray(frame.data))
+            segs = segment_loader.load(frame.frame_idx)
+            masks.append(
+                {
+                    oid: np.ascontiguousarray(
+                        segs.get(oid, np.zeros((h, w), bool)).astype(bool)
+                    )
+                    for oid in sampled.object_ids
+                }
+            )
+        dp = VideoDatapoint(images, masks)
+        if self.transforms is not None:
+            dp = self.transforms(dp)
+        return dp
+
+    def get_datapoint(self, idx: int) -> VideoDatapoint:
+        for retry in range(MAX_RETRIES):
+            try:
+                return self._get_datapoint_once(idx)
+            except Exception as e:  # noqa: BLE001
+                if not self.training or retry == MAX_RETRIES - 1:
+                    raise
+                idx = random.randrange(0, len(self.video_dataset))
+                logging.warning("dataloading retry after: %s", e)
+
+
+def collate_video_batch(datapoints: List[VideoDatapoint], max_num_objects: int):
+    """-> dict(images [T,B,S,S,3] f32, masks [T,B,O,S,S] bool, obj_valid [B,O])
+    (reference utils/data_utils.py:114-179 BatchedVideoDatapoint)."""
+    b = len(datapoints)
+    t = len(datapoints[0].images)
+    s = datapoints[0].images[0].shape[0]
+    images = np.zeros((t, b, s, s, 3), np.float32)
+    masks = np.zeros((t, b, max_num_objects, s, s), bool)
+    obj_valid = np.zeros((b, max_num_objects), bool)
+    for bi, dp in enumerate(datapoints):
+        obj_ids = list(dp.masks[0].keys())[:max_num_objects]
+        obj_valid[bi, : len(obj_ids)] = True
+        for ti in range(t):
+            images[ti, bi] = dp.images[ti]
+            for oi, oid in enumerate(obj_ids):
+                masks[ti, bi, oi] = dp.masks[ti][oid]
+    return {"images": images, "masks": masks, "obj_valid": obj_valid}
+
+
+# ------------------------------------------------------------- mixing + loader
+class RepeatFactorWrapper:
+    """Epoch-seeded stochastic repeat-factor oversampling
+    (reference dataset/utils.py:42-104)."""
+
+    def __init__(self, dataset: VOSDataset, seed: int = 0):
+        self.dataset = dataset
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+        self.dataset.set_epoch(epoch)
+
+    def indices(self) -> List[int]:
+        g = np.random.default_rng(self.seed + self.epoch)
+        out = []
+        for idx, rf in enumerate(self.dataset.repeat_factors):
+            n = int(np.floor(rf) + (g.random() < (rf - np.floor(rf))))
+            out.extend([idx] * n)
+        return out
+
+
+class TrainMixedVideoLoader:
+    """Probability-mixed multi-dataset loader with per-host sharding and
+    phases_per_epoch chunking (reference sam2_datasets.py:19-201).
+
+    The fork's curriculum switch (sam2_datasets.py:88-118): when
+    `use_curriculum=True`, per-epoch curriculum stages come from the raw
+    dataset's set_epoch; otherwise each dataset is chunked into
+    phases_per_epoch subsets and any staged dataset is forced to 'full'.
+    """
+
+    def __init__(
+        self,
+        datasets: List[VOSDataset],
+        batch_sizes: List[int],
+        max_num_objects: int = 5,
+        shuffle: bool = True,
+        seed: int = 0,
+        phases_per_epoch: int = 1,
+        use_curriculum: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        assert len(datasets) == len(batch_sizes)
+        self.datasets = [RepeatFactorWrapper(d, seed) for d in datasets]
+        self.batch_sizes = list(batch_sizes)
+        self.max_num_objects = max_num_objects
+        self.shuffle = shuffle
+        self.seed = seed
+        self.phases_per_epoch = phases_per_epoch
+        self.use_curriculum = use_curriculum
+        self.process_index = process_index
+        self.process_count = process_count
+        if not use_curriculum:
+            for d in self.datasets:
+                raw = d.dataset.video_dataset
+                if hasattr(raw, "force_stage"):
+                    raw.force_stage("full")  # sam2_datasets.py:113-118
+
+    def _epoch_batches(self, wrapped: RepeatFactorWrapper, bs: int, epoch: int):
+        idxs = wrapped.indices()
+        g = np.random.default_rng(self.seed * 100 + epoch)
+        if self.shuffle:
+            g.shuffle(idxs)
+        if self.phases_per_epoch > 1 and not self.use_curriculum:
+            chunks = np.array_split(idxs, self.phases_per_epoch)
+            idxs = list(chunks[epoch % self.phases_per_epoch])
+        # per-host shard (== DistributedSampler, sam2_datasets.py:121-124)
+        idxs = idxs[self.process_index :: self.process_count]
+        return [idxs[i : i + bs] for i in range(0, len(idxs) - bs + 1, bs)]
+
+    def get_loader(self, epoch: int) -> Iterable[Dict]:
+        for d in self.datasets:
+            if self.use_curriculum:
+                d.set_epoch(epoch)
+        all_batches = []
+        for di, (d, bs) in enumerate(zip(self.datasets, self.batch_sizes)):
+            all_batches.extend(
+                (di, batch) for batch in self._epoch_batches(d, bs, epoch)
+            )
+        g = random.Random(self.seed + epoch)
+        if self.shuffle:
+            g.shuffle(all_batches)
+        for di, batch_idxs in all_batches:
+            dps = [self.datasets[di].dataset.get_datapoint(i) for i in batch_idxs]
+            yield collate_video_batch(dps, self.max_num_objects)
+
+    def __len__(self):
+        n = 0
+        for d, bs in zip(self.datasets, self.batch_sizes):
+            n += max(0, len(d.indices()) // max(self.process_count, 1) // bs)
+        return n
