@@ -298,3 +298,71 @@ def multi_step_multimasks_and_ious(
     )
     losses[CORE_LOSS_KEY] = core
     return losses
+
+
+def multi_step_loss_stacked(
+    cfg: LossConfig,
+    stacked: Dict[str, jnp.ndarray],
+    obj_valid: jnp.ndarray,  # [Bo] bool
+    final_logits_by_frame: Optional[jnp.ndarray] = None,  # [T, Bo, H, W]
+    num_objects: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Loss over the scan-stacked outputs of train_model.train_forward.
+
+    stacked: step0_multimasks [T, Bo, 3, H, W], step0_ious [T, Bo, 3],
+             step0_score [T, Bo, 1], corr_* with an extra step axis
+             [T, S, Bo, ...], corr_valid [T, S], target [T, Bo, H, W].
+    Identical math to the per-step reference loss, fully vectorized over
+    (frame, step) by folding them into the object axis.
+    """
+    t, bo = stacked["target"].shape[:2]
+    if num_objects is None:
+        num_objects = jnp.clip(obj_valid.sum().astype(jnp.float32), min=1.0)
+    ow = obj_valid.astype(jnp.float32)
+
+    tgt = stacked["target"].astype(jnp.float32)[:, :, None]  # [T, Bo, 1, H, W]
+    h, w = tgt.shape[-2:]
+
+    # step-0 (always valid)
+    l0 = _step_losses(
+        cfg,
+        stacked["step0_multimasks"].reshape(t * bo, 3, h, w),
+        tgt.reshape(t * bo, 1, h, w),
+        stacked["step0_ious"].reshape(t * bo, 3),
+        stacked["step0_score"].reshape(t * bo, 1),
+    )
+    w0 = jnp.tile(ow, (t,))
+    losses = {k: (v * w0).sum() / num_objects for k, v in l0.items()}
+
+    # correction steps (masked by corr_valid)
+    s = stacked["corr_multimasks"].shape[1]
+    if s > 0:
+        tgt_s = jnp.broadcast_to(tgt[:, None], (t, s, bo, 1, h, w))
+        lc = _step_losses(
+            cfg,
+            stacked["corr_multimasks"].reshape(t * s * bo, 1, h, w),
+            tgt_s.reshape(t * s * bo, 1, h, w),
+            stacked["corr_ious"].reshape(t * s * bo, 1),
+            stacked["corr_score"].reshape(t * s * bo, 1),
+        )
+        wc = (
+            stacked["corr_valid"].astype(jnp.float32)[:, :, None] * ow[None, None, :]
+        ).reshape(t * s * bo)
+        for k in losses:
+            losses[k] = losses[k] + (lc[k] * wc).sum() / num_objects
+
+    if cfg.weight_temporal != 0.0 and final_logits_by_frame is not None:
+        tl_fn = TEMPORAL_LOSSES[cfg.temporal_variant]
+        per_obj = jax.vmap(tl_fn, in_axes=1)(final_logits_by_frame)
+        losses["loss_temporal"] = (per_obj * ow).sum() / jnp.clip(ow.sum(), min=1.0)
+    else:
+        losses["loss_temporal"] = jnp.asarray(0.0, jnp.float32)
+
+    losses[CORE_LOSS_KEY] = (
+        losses["loss_mask"] * cfg.weight_mask
+        + losses["loss_dice"] * cfg.weight_dice
+        + losses["loss_iou"] * cfg.weight_iou
+        + losses["loss_class"] * cfg.weight_class
+        + losses["loss_temporal"] * cfg.weight_temporal
+    )
+    return losses

@@ -179,14 +179,34 @@ def train_forward(
             method=model.sam_heads,
         )
 
-    frame_outputs: List[List[Dict]] = []
-    frame_targets: List[jnp.ndarray] = []
-    finals = jnp.zeros((t, bo, cfg.image_size, cfg.image_size), jnp.float32)
+    # ------------------------------------------------------------------------
+    # Frame loop as lax.scan (bank is the carry); the correction-click loop is a
+    # nested scan. Each model subgraph (heads/memory-attention/...) appears once
+    # in the HLO instead of T*(3 + n_corr) times — an order of magnitude less
+    # compile work than a python-unrolled loop, identical numerics.
+    # ------------------------------------------------------------------------
+    pos_keys = jax.random.split(k_loop, t)
+    is_init_pos = jnp.arange(t) < plan["n_init"]
 
-    loop_keys = jax.random.split(k_loop, t)
-    for i in range(t):
-        ti = plan["order"][i]
-        keys = jax.random.split(loop_keys[i], 2 + n_corr_pts)
+    def pack(out, pix, coords, labels):
+        ious = out["ious"]
+        if ious.shape[1] == 1:
+            ious = jnp.repeat(ious, 3, axis=1)
+        return {
+            "multimasks": _tile3(out["high_res_multimasks"]).astype(jnp.float32),
+            "ious": ious.astype(jnp.float32),
+            "score": out["object_score_logits"].astype(jnp.float32),
+            "low": out["low_res_masks"].astype(jnp.float32),
+            "high": out["high_res_masks"].astype(jnp.float32),
+            "obj_ptr": out["obj_ptr"].astype(jnp.float32),
+            "pix": pix,
+            "coords": coords,
+            "labels": labels,
+        }
+
+    def frame_body(bank, xs):
+        i, ti, is_init, key = xs
+        keys = jax.random.split(key, 2 + n_corr_pts)
         top = jnp.take(top_all, ti, axis=0)
         hr = None
         if cfg.use_high_res_features_in_sam:
@@ -196,22 +216,6 @@ def train_forward(
 
         coords0 = jnp.zeros((bo, p_slots, 2), jnp.float32)
         labels0 = -jnp.ones((bo, p_slots), jnp.int32)
-
-        def pack(out, pix, coords, labels):
-            ious = out["ious"]
-            if ious.shape[1] == 1:
-                ious = jnp.repeat(ious, 3, axis=1)
-            return {
-                "multimasks": _tile3(out["high_res_multimasks"]),
-                "ious": ious,
-                "score": out["object_score_logits"],
-                "low": out["low_res_masks"],
-                "high": out["high_res_masks"],
-                "obj_ptr": out["obj_ptr"],
-                "pix": pix,
-                "coords": coords,
-                "labels": labels,
-            }
 
         def init_branch(bank_):
             no_mem = model.apply(params, top, method=model.no_mem_features)
@@ -256,26 +260,11 @@ def train_forward(
             out = heads(pix, coords0, labels0, None, hr, True)
             return pack(out, pix, coords0, labels0)
 
-        if i == 0:
-            step0 = init_branch(bank)
-        else:
-            step0 = jax.lax.cond(
-                i < plan["n_init"], init_branch, track_branch, bank
-            )
+        step0 = jax.lax.cond(is_init, init_branch, track_branch, bank)
 
-        steps = [
-            {
-                "multimasks": step0["multimasks"],
-                "ious": step0["ious"],
-                "score": step0["score"],
-                "valid": jnp.asarray(True),
-            }
-        ]
-
-        # ---- correction-click loop (reference _iter_correct_pt_sampling:448-541) ----
-        carry = step0
-        for j in range(n_corr_pts):
-            kj = keys[2 + j]
+        # ---- correction-click scan (reference _iter_correct_pt_sampling:448-541) ----
+        def corr_body(carry, xs2):
+            j, kj = xs2
 
             def corr_fn(carry):
                 pred = carry["high"] > 0  # [Bo,1,H,W]
@@ -293,14 +282,18 @@ def train_forward(
                 return pack(out, carry["pix"], c, l)
 
             carry = jax.lax.cond(should_correct, corr_fn, lambda c: c, carry)
-            steps.append(
-                {
-                    "multimasks": carry["multimasks"][:, :1],
-                    "ious": carry["ious"][:, :1],
-                    "score": carry["score"],
-                    "valid": should_correct,
-                }
-            )
+            step_out = {
+                "multimasks": carry["multimasks"][:, :1],
+                "ious": carry["ious"][:, :1],
+                "score": carry["score"],
+            }
+            return carry, step_out
+
+        carry, corr_steps = jax.lax.scan(
+            corr_body,
+            step0,
+            (jnp.arange(n_corr_pts), keys[2 : 2 + n_corr_pts]),
+        )
 
         # ---- memory encoding + bank write ----
         maskmem = model.apply(
@@ -324,8 +317,24 @@ def train_forward(
             is_cond,
         )
 
-        frame_outputs.append(steps)
-        frame_targets.append(gt[:, 0])
-        finals = finals.at[ti].set(carry["high"][:, 0].astype(jnp.float32))
+        outputs = {
+            "step0_multimasks": step0["multimasks"],
+            "step0_ious": step0["ious"],
+            "step0_score": step0["score"],
+            "corr_multimasks": corr_steps["multimasks"],  # [S, Bo, 1, H, W]
+            "corr_ious": corr_steps["ious"],
+            "corr_score": corr_steps["score"],
+            "corr_valid": jnp.broadcast_to(should_correct, (n_corr_pts,)),
+            "target": gt[:, 0],
+            "final_high": carry["high"][:, 0],
+            "frame_idx": ti,
+        }
+        return bank, outputs
 
-    return frame_outputs, frame_targets, finals
+    xs = (jnp.arange(t), plan["order"], is_init_pos, pos_keys)
+    bank, stacked = jax.lax.scan(frame_body, bank, xs)
+
+    # finals scattered back to frame order for the temporal loss
+    finals = jnp.zeros((t, bo, cfg.image_size, cfg.image_size), jnp.float32)
+    finals = finals.at[stacked["frame_idx"]].set(stacked["final_high"])
+    return stacked, finals

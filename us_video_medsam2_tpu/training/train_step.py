@@ -20,7 +20,7 @@ from us_video_medsam2_tpu.models.sam2 import SAM2Model
 from us_video_medsam2_tpu.training.losses import (
     CORE_LOSS_KEY,
     LossConfig,
-    multi_step_multimasks_and_ious,
+    multi_step_loss_stacked,
 )
 from us_video_medsam2_tpu.training.optimizer import OptimConfig, build_optimizer
 from us_video_medsam2_tpu.training.train_model import TrainSimConfig, train_forward
@@ -54,12 +54,12 @@ def create_train_state(model: SAM2Model, params, cfg: TrainConfig) -> TrainState
 
 def make_train_step(model: SAM2Model, cfg: TrainConfig, donate: bool = True):
     def loss_fn(params, batch: TrainBatch, rng):
-        outs, tgts, finals = train_forward(
+        stacked, finals = train_forward(
             model, params, rng, batch.images, batch.masks, cfg.sim, is_training=True
         )
         obj_valid = batch.obj_valid.reshape(-1)
-        losses = multi_step_multimasks_and_ious(
-            cfg.loss, outs, tgts, obj_valid, final_logits_by_frame=finals
+        losses = multi_step_loss_stacked(
+            cfg.loss, stacked, obj_valid, final_logits_by_frame=finals
         )
         return losses[CORE_LOSS_KEY], losses
 
