@@ -289,8 +289,11 @@ def train_forward(
             }
             return carry, step_out
 
+        # remat: recompute each correction step's activations in backward instead
+        # of storing S copies (reference use_act_ckpt_iterative_pt_sampling,
+        # training/model/sam2.py:493-501)
         carry, corr_steps = jax.lax.scan(
-            corr_body,
+            jax.checkpoint(corr_body, prevent_cse=False),
             step0,
             (jnp.arange(n_corr_pts), keys[2 : 2 + n_corr_pts]),
         )
@@ -332,7 +335,9 @@ def train_forward(
         return bank, outputs
 
     xs = (jnp.arange(t), plan["order"], is_init_pos, pos_keys)
-    bank, stacked = jax.lax.scan(frame_body, bank, xs)
+    bank, stacked = jax.lax.scan(
+        jax.checkpoint(frame_body, prevent_cse=False), bank, xs
+    )
 
     # finals scattered back to frame order for the temporal loss
     finals = jnp.zeros((t, bo, cfg.image_size, cfg.image_size), jnp.float32)
