@@ -1,0 +1,99 @@
+"""End-to-end smoke: synthetic NPZ videos -> training CLI -> video-eval CLI.
+
+Mirrors the reference's two main workflows (train on NPZ videos with curriculum
++ prompt simulation; deterministic Dice eval with CSVs) on the tiny64 config.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def npz_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("npz_videos")
+    rng = np.random.default_rng(0)
+    for vi in range(3):
+        t, h, w = 6, 96, 80
+        imgs = (rng.random((t, h, w)) * 255).astype(np.uint8)
+        gts = np.zeros((t, h, w), np.uint8)
+        for ti in range(t):
+            y, x = 30 + ti, 25 + ti
+            gts[ti, y : y + 25, x : x + 20] = 1
+            gts[ti, 5 : 20, 50 : 70] = 2
+            imgs[ti][gts[ti] == 1] = 220  # make the object visually distinct
+        np.savez_compressed(root / f"video_{vi}.npz", imgs=imgs, gts=gts)
+    return str(root)
+
+
+def test_train_cli_runs(npz_dataset, tmp_path):
+    from us_video_medsam2_tpu.apps.train import main
+
+    out = tmp_path / "work"
+    main(
+        [
+            "--data_dir", npz_dataset,
+            "--out_dir", str(out),
+            "--cfg", "tiny64_test",
+            "--epochs", "1",
+            "--num_frames", "2",
+            "--max_num_objects", "2",
+            "--resolution", "64",
+            "--batch_size", "1",
+            "--curriculum", "quantum",
+            "--temporal_loss", "consistency",
+        ]
+    )
+    stats = [
+        json.loads(line) for line in open(out / "train_stats.json")
+    ]
+    assert len(stats) == 1
+    assert np.isfinite(stats[0]["Losses/train_all_loss"])
+    assert os.path.exists(out / "checkpoint.npz")
+    assert os.path.exists(out / "config_resolved.json")
+
+
+def test_eval_cli_runs(npz_dataset, tmp_path):
+    from us_video_medsam2_tpu.apps.infer_video import main
+
+    out = tmp_path / "eval"
+    main(
+        [
+            "--data_dir", npz_dataset,
+            "--out_dir", str(out),
+            "--cfg", "tiny64_test",
+        ]
+    )
+    csv_path = out / "metrics.csv"
+    assert csv_path.exists()
+    rows = open(csv_path).read().strip().splitlines()
+    assert rows[0].startswith("video,class")
+    assert any(r.startswith("ALL,") for r in rows)
+
+
+def test_recist_cli_runs(tmp_path):
+    from us_video_medsam2_tpu.apps.infer_ct_recist import main
+
+    rng = np.random.default_rng(1)
+    data_dir = tmp_path / "recist"
+    data_dir.mkdir()
+    d, h, w = 6, 96, 96
+    imgs = (rng.random((d, h, w)) * 255).astype(np.uint8)
+    recist = np.zeros((d, h, w), np.uint8)
+    recist[3, 40, 30:60] = 1  # horizontal diameter line on slice 3
+    np.savez_compressed(
+        data_dir / "case0.npz", imgs=imgs, recist=recist, spacing=np.array([1.0, 1.0, 1.0])
+    )
+    out = tmp_path / "pred"
+    main(
+        [
+            "--imgs_path", str(data_dir),
+            "--pred_save_dir", str(out),
+            "--cfg", "tiny64_test",
+        ]
+    )
+    seg = np.load(out / "case0.npz")["segs"]
+    assert seg.shape == (d, h, w)
+    assert (out / "inference_time.csv").exists()

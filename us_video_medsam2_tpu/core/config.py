@@ -277,7 +277,31 @@ def efficienttam_s_512() -> SAM2Config:
     )
 
 
+def tiny64_test() -> SAM2Config:
+    """Structurally complete micro config for CI / CPU smoke runs."""
+    return SAM2Config(
+        image_size=64,
+        hiera=HieraConfig(
+            embed_dim=8,
+            stages=(1, 1, 1, 1),
+            q_pool=3,
+            global_att_blocks=(),
+            window_spec=(4, 2, 2, 2),
+            window_pos_embed_bkg_spatial_size=(2, 2),
+        ),
+        neck=FpnNeckConfig(d_model=32, backbone_channel_list=(64, 32, 16, 8)),
+        memory_attention=MemoryAttentionConfig(
+            d_model=32, num_layers=1, dim_feedforward=64, rope_feat_sizes=(4, 4),
+            kv_in_dim=8,
+        ),
+        memory_encoder=MemoryEncoderConfig(
+            out_dim=8, in_dim=32, mask_downsampler_embed_dim=32, pos_channels=8
+        ),
+    )
+
+
 PRESETS = {
     "sam2.1_hiera_t512": sam21_hiera_tiny_512,
     "efficientmedsam_s_512": efficienttam_s_512,
+    "tiny64_test": tiny64_test,
 }

@@ -24,7 +24,7 @@ class FairSegMetrics:
 
     def __call__(self, logits: np.ndarray, target: np.ndarray):
         """logits/target: [N, H, W] (or broadcastable); returns (dice, iou, acc) [N]."""
-        prob = 1.0 / (1.0 + np.exp(-logits.astype(np.float64)))
+        prob = 1.0 / (1.0 + np.exp(-np.clip(logits.astype(np.float64), -60, 60)))
         pred = (prob > self.thr).astype(np.float64)
         gt = (target > 0.5).astype(np.float64)
         p = pred.reshape(pred.shape[0], -1)
