@@ -42,13 +42,16 @@ def main():
         jnp.float32,
     )
 
+    # setup once; timed runs re-propagate over the same session (the reference
+    # harness times propagate_in_video only, benchmark.py:86-106)
+    state = predictor.init_state(video, cfg.image_size, cfg.image_size, 1)
+    predictor.add_new_points_or_box(
+        state, 0, 1, points=np.array([[256.0, 256.0]]), labels=np.array([1])
+    )
+    predictor.propagate_in_video_preflight(state)
+
     def run():
-        state = predictor.init_state(video, cfg.image_size, cfg.image_size, 1)
-        predictor.add_new_points_or_box(
-            state, 0, 1, points=np.array([[256.0, 256.0]]), labels=np.array([1])
-        )
-        predictor.propagate_in_video_preflight(state)
-        _, _, ran = predictor._propagate(
+        _, lows, ran = predictor._propagate(
             predictor.params,
             state.images,
             state.bank,
@@ -56,7 +59,7 @@ def main():
             num_frames=state.num_frames,
             reverse=False,
         )
-        return ran.block_until_ready()
+        return lows.block_until_ready()
 
     for _ in range(warmup_runs):
         run()

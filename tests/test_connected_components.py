@@ -44,13 +44,40 @@ def test_component_labels_are_consistent():
     assert len(pairs) == len({a for a, _ in pairs}) == len({b for _, b in pairs})
 
 
-def test_fill_holes():
+@pytest.mark.parametrize("method", ["fast", "exact"])
+def test_fill_holes(method):
     """A 2x2 hole inside a blob gets flipped to +0.1; big background untouched."""
     mask = -np.ones((1, 32, 32), np.float32)
     mask[0, 8:24, 8:24] = 5.0
     mask[0, 14:16, 14:16] = -3.0  # 4-px hole
-    out = np.asarray(fill_holes_in_mask_scores(jnp.asarray(mask), max_area=8))
+    out = np.asarray(fill_holes_in_mask_scores(jnp.asarray(mask), 8, method=method))
     assert (out[0, 14:16, 14:16] == np.float32(0.1)).all()
     assert out[0, 0, 0] == -1.0
-    out2 = np.asarray(fill_holes_in_mask_scores(jnp.asarray(mask), max_area=2))
+    out2 = np.asarray(fill_holes_in_mask_scores(jnp.asarray(mask), 2, method=method))
     assert (out2[0, 14:16, 14:16] == -3.0).all()  # hole bigger than max_area stays
+
+
+@pytest.mark.parametrize("method", ["fast", "exact"])
+def test_fill_holes_keeps_large_interior_pocket(method):
+    """Ring-shaped masks: the big interior pocket must never be filled."""
+    mask = -np.ones((1, 64, 64), np.float32)
+    mask[0, 6:58, 6:58] = 4.0
+    mask[0, 30:42, 30:42] = -2.0  # 12x12 interior pocket (donut)
+    mask[0, 12:14, 12:14] = -1.5  # small true hole (4 px), >8 px from the pocket
+    out = np.asarray(fill_holes_in_mask_scores(jnp.asarray(mask), 8, method=method))
+    assert (out[0, 30:42, 30:42] == -2.0).all()
+    assert (out[0, 12:14, 12:14] == np.float32(0.1)).all()
+
+
+def test_fill_holes_fast_matches_exact_on_isolated_holes():
+    rng = np.random.default_rng(0)
+    mask = -np.ones((2, 64, 64), np.float32) * 3
+    mask[:, 8:56, 8:56] = 5.0
+    # scatter isolated small holes (far apart)
+    for b in range(2):
+        for cy, cx in [(16, 16), (16, 44), (44, 16), (44, 44)]:
+            s = int(rng.integers(1, 3))
+            mask[b, cy : cy + s, cx : cx + s] = -2.0
+    fast = np.asarray(fill_holes_in_mask_scores(jnp.asarray(mask), 8, method="fast"))
+    exact = np.asarray(fill_holes_in_mask_scores(jnp.asarray(mask), 8, method="exact"))
+    np.testing.assert_array_equal(fast, exact)

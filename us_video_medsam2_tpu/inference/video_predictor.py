@@ -240,8 +240,6 @@ class SAM2VideoPredictor:
                     method=self.model.track_step,
                 )
                 low = out["low_res_masks"][:, 0]  # [O, 4fs, 4fs]
-                if self.fill_hole_area > 0:
-                    low = fill_holes_in_mask_scores(low, self.fill_hole_area)
                 return bank, low
 
             def skip(bank):
@@ -256,6 +254,12 @@ class SAM2VideoPredictor:
         bank, (lows, ran) = jax.lax.scan(
             body, bank, jnp.arange(num_frames, dtype=jnp.int32)
         )
+        if self.fill_hole_area > 0:
+            # one batched connected-components pass over ALL frames/objects —
+            # far better MXU/VPU utilization than per-frame filling inside the
+            # scan (the CUDA reference fills per frame; on TPU the tiny per-frame
+            # scatter/gathers would dominate the whole propagation)
+            lows = fill_holes_in_mask_scores(lows, self.fill_hole_area)
         return bank, lows, ran
 
     def _to_video_res_impl(self, low_res, *, hw):

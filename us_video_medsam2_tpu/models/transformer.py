@@ -82,7 +82,14 @@ class RoPEAttention(nn.Module):
         rope_k_repeat: bool = False,
         key_mask=None,
         deterministic: bool = True,
+        landmark_pool: int = 0,
+        spatial_hw: Optional[tuple] = None,
     ):
+        """landmark_pool > 1 enables EfficientTAM's landmark cross-attention:
+        the rotated spatial-memory K/V are avg-pooled (landmark_pool x) per
+        memory slot with a +2*log(pool) logit bias (area compensation), while
+        object-pointer tokens stay unpooled (reference
+        efficient_track_anything/modeling/sam/transformer.py:369-424)."""
         internal_dim = self.embedding_dim // self.downsample_rate
         q = nn.Dense(internal_dim, dtype=self.dtype, name="q_proj")(q)
         k = nn.Dense(internal_dim, dtype=self.dtype, name="k_proj")(k)
@@ -105,10 +112,58 @@ class RoPEAttention(nn.Module):
             )
             k = jnp.concatenate([k_rot, k[:, :, n_rope:]], axis=-2)
 
-        out = sdpa(q, k, v, key_mask=key_mask)
+        if landmark_pool > 1 and n_rope > q.shape[-2]:
+            out = self._landmark_attention(
+                q, k, v, n_rope, landmark_pool, spatial_hw, key_mask
+            )
+        else:
+            out = sdpa(q, k, v, key_mask=key_mask)
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
         return nn.Dense(self.embedding_dim, dtype=self.dtype, name="out_proj")(out)
+
+    @staticmethod
+    def _landmark_attention(q, k, v, n_rope, pool, spatial_hw, key_mask):
+        import math
+
+        from us_video_medsam2_tpu.ops.attention import NEG_INF
+
+        b, nh, lq, d = q.shape
+        hh, ww = spatial_hw
+        n_slots = n_rope // (hh * ww)
+
+        def pool_tokens(x):  # [B, H, n_rope, d] -> [B, H, n_rope/pool^2, d]
+            xs = x[:, :, :n_rope].reshape(b, nh, n_slots, hh // pool, pool, ww // pool, pool, d)
+            return xs.mean(axis=(4, 6)).reshape(b, nh, -1, d)
+
+        k_land = pool_tokens(k)
+        v_land = pool_tokens(v)
+        k_full = jnp.concatenate([k_land, k[:, :, n_rope:]], axis=2)
+        v_full = jnp.concatenate([v_land, v[:, :, n_rope:]], axis=2)
+
+        scale = 1.0 / math.sqrt(d)
+        logits = (
+            jnp.einsum("bhqd,bhkd->bhqk", q, k_full, preferred_element_type=jnp.float32)
+            * scale
+        )
+        n_land = k_land.shape[2]
+        bias = jnp.concatenate(
+            [
+                jnp.full((n_land,), 2.0 * math.log(pool), jnp.float32),
+                jnp.zeros((k.shape[2] - n_rope,), jnp.float32),
+            ]
+        )
+        logits = logits + bias[None, None, None, :]
+        if key_mask is not None:
+            # pool the mask: slot validity is uniform over its tokens
+            m_sp = key_mask[:, :n_rope].reshape(b, n_slots, hh * ww)[:, :, :: pool * pool]
+            m = jnp.concatenate([m_sp.reshape(b, -1), key_mask[:, n_rope:]], axis=1)
+            logits = jnp.where(m[:, None, None, :], logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum(
+            "bhqk,bhkd->bhqd", probs.astype(v.dtype), v_full,
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
 
 
 class TwoWayAttentionBlock(nn.Module):

@@ -87,13 +87,81 @@ def connected_components(mask: jnp.ndarray, num_iters: int = 16):
     return labels_out, areas
 
 
-def fill_holes_in_mask_scores(mask: jnp.ndarray, max_area: int) -> jnp.ndarray:
-    """Flip small background holes to a small positive score (0.1).
+def _dilate8(x: jnp.ndarray) -> jnp.ndarray:
+    """8-neighborhood binary dilation of [B, H, W] bool."""
+    p = jnp.pad(x, ((0, 0), (1, 1), (1, 1)))
+    m = x
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            if dy == 1 and dx == 1:
+                continue
+            m = m | p[:, dy : dy + x.shape[1], dx : dx + x.shape[2]]
+    return m
 
-    mask: [..., H, W] float logits. Mirrors reference sam2/utils/misc.py:312-339.
+
+def _box_count(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Separable (2r+1)^2 box sum of a [B, H, W] bool array."""
+    v = x.astype(jnp.int32)
+    p = jnp.pad(v, ((0, 0), (radius, radius), (0, 0)))
+    v = sum(p[:, d : d + x.shape[1], :] for d in range(2 * radius + 1))
+    p = jnp.pad(v, ((0, 0), (0, 0), (radius, radius)))
+    return sum(p[:, :, d : d + x.shape[2]] for d in range(2 * radius + 1))
+
+
+def fill_holes_fast(mask: jnp.ndarray, max_area: int, flood_iters: int = 256) -> jnp.ndarray:
+    """Gather/scatter-free hole filling (the TPU fast path).
+
+    Fills background pockets that are (a) not connected to the image border and
+    (b) have ≤ max_area pocket pixels within the enclosing ±max_area window:
+
+      1. flood border background inward with masked binary dilations (pure
+         shifted ORs — VPU-only, no gathers),
+      2. pockets = background not reached,
+      3. a pocket pixel belongs to a ≤max_area component iff its windowed
+         pocket count is ≤ max_area (a component with area > max_area always
+         has > max_area members within L∞ ≤ max_area of each of its pixels).
+
+    Exact w.r.t. the reference semantics (misc.py:312-339) except two benign
+    cases: small bg pockets touching the image border stay unfilled, and small
+    holes within 2*max_area px of ANOTHER pocket stay unfilled. Large interior
+    pockets (e.g. ring-shaped masks) are never falsely filled.
     """
     if max_area <= 0:
         return mask
+    shape = mask.shape
+    flat = mask.reshape(-1, shape[-2], shape[-1])
+    bg = flat <= 0
+    b, h, w = bg.shape
+
+    border = jnp.zeros((b, h, w), bool)
+    border = border.at[:, 0, :].set(True).at[:, -1, :].set(True)
+    border = border.at[:, :, 0].set(True).at[:, :, -1].set(True)
+    reach = border & bg
+
+    def body(_, reach):
+        return (_dilate8(reach) & bg) | reach
+
+    reach = jax.lax.fori_loop(0, flood_iters, body, reach)
+    pocket = bg & ~reach
+    count = _box_count(pocket, max_area)
+    is_hole = pocket & (count <= max_area)
+    out = jnp.where(is_hole, jnp.asarray(0.1, mask.dtype), flat)
+    return out.reshape(shape)
+
+
+def fill_holes_in_mask_scores(
+    mask: jnp.ndarray, max_area: int, method: str = "fast"
+) -> jnp.ndarray:
+    """Flip small background holes to a small positive score (0.1).
+
+    mask: [..., H, W] float logits. Mirrors reference sam2/utils/misc.py:312-339.
+    method: 'fast' (gather-free, see fill_holes_fast) or 'exact' (full
+    connected-components labeling).
+    """
+    if max_area <= 0:
+        return mask
+    if method == "fast":
+        return fill_holes_fast(mask, max_area)
     shape = mask.shape
     flat = mask.reshape(-1, shape[-2], shape[-1])
     _, areas = connected_components(flat <= 0)
