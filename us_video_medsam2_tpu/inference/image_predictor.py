@@ -119,6 +119,11 @@ class SAM2ImagePredictor:
         assert pts, "provide a prompt"
         coords = jnp.asarray(np.concatenate(pts, axis=1))
         labels = jnp.asarray(np.concatenate(lbl, axis=1))
+        # broadcast one prompt across a batched set_image_batch
+        b_feat = self._features["top"].shape[0]
+        if b_feat > 1 and coords.shape[0] == 1:
+            coords = jnp.tile(coords, (b_feat, 1, 1))
+            labels = jnp.tile(labels, (b_feat, 1))
 
         has_mask = mask_input is not None
         if has_mask:
@@ -127,6 +132,8 @@ class SAM2ImagePredictor:
             )
         else:
             mi = jnp.zeros((1, 4 * cfg.feat_size, 4 * cfg.feat_size, 1))
+        if b_feat > 1 and mi.shape[0] == 1:
+            mi = jnp.tile(mi, (b_feat, 1, 1, 1))
 
         out = self._predict(
             self.params,

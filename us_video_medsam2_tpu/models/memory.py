@@ -81,6 +81,8 @@ class MemoryAttentionLayer(nn.Module):
             rope_k_len=num_k_rope,
             rope_k_repeat=True,
             key_mask=key_mask,
+            landmark_pool=cfg.efficient_pool_size,
+            spatial_hw=cfg.rope_feat_sizes,
         )
         tgt = tgt + tgt2
 
