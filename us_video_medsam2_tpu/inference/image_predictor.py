@@ -57,6 +57,13 @@ class SAM2ImagePredictor:
     def _predict_impl(
         self, params, feats, coords, labels, mask_input, *, multimask, has_mask
     ):
+        b_prompt = coords.shape[0]
+        if feats["top"].shape[0] == 1 and b_prompt > 1:
+            # repeat_image semantics: many prompts against one image
+            # (reference mask_decoder.py:199-204)
+            feats = {
+                k: jnp.broadcast_to(v, (b_prompt, *v.shape[1:])) for k, v in feats.items()
+            }
         high_res = (
             [feats["s0"], feats["s1"]]
             if self.cfg.use_high_res_features_in_sam
@@ -86,6 +93,37 @@ class SAM2ImagePredictor:
         self._orig_hw = (images[0].shape[0], images[0].shape[1])
         x = preprocess_images(jnp.asarray(np.stack(images)), self.cfg.image_size)
         self._features = self._encode(self.params, x)
+
+    def predict_batch_points(
+        self,
+        point_coords: np.ndarray,  # [N, P, 2] at original resolution
+        point_labels: np.ndarray,  # [N, P]
+        multimask_output: bool = True,
+    ):
+        """Batched point prompts against the current image (AMG path).
+
+        Returns (mask_logits [N, M, H, W] at original res, ious [N, M],
+        low_res_logits [N, M, h, w]).
+        """
+        assert self._features is not None, "call set_image first"
+        cfg = self.cfg
+        coords = transform_coords(
+            np.asarray(point_coords, np.float32), self._orig_hw, cfg.image_size
+        )
+        out = self._predict(
+            self.params,
+            self._features,
+            jnp.asarray(coords),
+            jnp.asarray(point_labels, jnp.int32),
+            jnp.zeros((coords.shape[0], 4 * cfg.feat_size, 4 * cfg.feat_size, 1)),
+            multimask=multimask_output,
+            has_mask=False,
+        )
+        low = out["low_res_multimasks"]  # [N, M, h, w]
+        masks = postprocess_masks(
+            low, self._orig_hw, self.max_hole_area, self.max_sprinkle_area
+        )
+        return np.asarray(masks), np.asarray(out["ious"]), np.asarray(low)
 
     def predict(
         self,
