@@ -22,8 +22,12 @@ def sdpa(
     v: jnp.ndarray,
     key_mask: jnp.ndarray | None = None,
     scale: float | None = None,
+    allow_flash: bool = True,
 ) -> jnp.ndarray:
     """Attention over [B, H, L, D] tensors.
+
+    Dispatches to the Pallas flash kernel (kernels/flash_attention.py) when on
+    TPU with qualifying shapes; XLA einsum otherwise.
 
     Args:
       q: [B, H, Lq, D]
@@ -35,6 +39,14 @@ def sdpa(
     d = q.shape[-1]
     if scale is None:
         scale = d ** -0.5
+    if allow_flash and scale == d ** -0.5 and v.shape[-1] == d:
+        from us_video_medsam2_tpu.kernels.flash_attention import (
+            flash_attention,
+            flash_attention_available,
+        )
+
+        if flash_attention_available(q.shape, k.shape):
+            return flash_attention(q, k, v, key_mask)
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
