@@ -63,10 +63,15 @@ def main():
 
     for _ in range(warmup_runs):
         run()
-    t0 = time.perf_counter()
-    for _ in range(timed_runs):
-        run()
-    dt = time.perf_counter() - t0
+    for attempt in range(3):
+        t0 = time.perf_counter()
+        lows = None
+        for _ in range(timed_runs):
+            lows = run()
+        dt = time.perf_counter() - t0
+        sane = np.isfinite(np.asarray(lows[1:3])).all() and dt > 1e-3 * timed_runs
+        if sane:
+            break
     fps = timed_runs * (num_frames - 1) / dt
 
     print(

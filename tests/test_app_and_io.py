@@ -1,0 +1,115 @@
+"""Annotation session (app backend), video IO, and SA-V RLE decoding."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def video_file(tmp_path_factory):
+    root = tmp_path_factory.mktemp("videos")
+    path = str(root / "test.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (96, 80))
+    rng = np.random.default_rng(0)
+    for t in range(5):
+        frame = (rng.random((80, 96, 3)) * 255).astype(np.uint8)
+        frame[30 + t : 55 + t, 20 + t : 45 + t] = (255, 255, 255)
+        w.write(frame)
+    w.release()
+    return path
+
+
+def test_load_video_frames(video_file):
+    from us_video_medsam2_tpu.utils.video_io import load_video_frames
+
+    frames, vh, vw = load_video_frames(video_file, image_size=64)
+    assert frames.shape == (5, 64, 64, 3)
+    assert (vh, vw) == (80, 96)
+
+
+def test_async_frame_loader(tmp_path):
+    from PIL import Image
+
+    from us_video_medsam2_tpu.utils.video_io import AsyncVideoFrameLoader
+
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"{i}.jpg")
+        Image.fromarray(np.full((32, 40, 3), i * 40, np.uint8)).save(p)
+        paths.append(p)
+    loader = AsyncVideoFrameLoader(paths, image_size=32)
+    assert len(loader) == 4
+    for i in range(4):
+        assert loader[i].shape == (32, 32, 3)
+    assert loader.video_height == 32 and loader.video_width == 40
+
+
+def test_annotation_session(video_file):
+    from tests.conftest import require_fixture
+    from tests.test_parity import MINI
+    from us_video_medsam2_tpu.apps.app import AnnotationSession
+    from us_video_medsam2_tpu.core.import_torch import convert_reference_state_dict
+    from us_video_medsam2_tpu.inference.video_predictor import SAM2VideoPredictor
+    from us_video_medsam2_tpu.models.sam2 import SAM2Model
+
+    sd = dict(np.load(require_fixture("mini_state_dict.npz")))
+    params = convert_reference_state_dict(sd, MINI)
+    predictor = SAM2VideoPredictor(SAM2Model(MINI), params, fill_hole_area=0)
+
+    sess = AnnotationSession(predictor, video_file)
+    obj_ids, masks = sess.click(0, 1, 32.0, 42.0, positive=True)
+    assert masks.shape[0] == 8  # max_objects slots
+    tracked = sess.track()
+    assert set(tracked) == {0, 1, 2, 3, 4}
+    out_dir = os.path.join(os.path.dirname(video_file), "export")
+    mp4, zf = sess.export(out_dir)
+    assert os.path.exists(mp4) and os.path.exists(zf)
+    import zipfile
+
+    with zipfile.ZipFile(zf) as z:
+        assert len(z.namelist()) == 5
+
+
+def test_coco_rle_decode_uncompressed():
+    from us_video_medsam2_tpu.inference.amg import mask_to_rle
+    from us_video_medsam2_tpu.training.data import decode_coco_rle
+
+    rng = np.random.default_rng(0)
+    m = rng.random((17, 23)) > 0.5
+    rle = mask_to_rle(m)
+    np.testing.assert_array_equal(decode_coco_rle(rle), m)
+
+
+def test_coco_rle_decode_compressed_string():
+    """Encode with the COCO char scheme ourselves and decode."""
+    from us_video_medsam2_tpu.training.data import decode_coco_rle
+
+    def encode_counts(counts):
+        # pycocotools rleToString
+        s = bytearray()
+        for i, x in enumerate(counts):
+            if i > 2:
+                x -= counts[i - 2]
+            more = True
+            while more:
+                c = x & 0x1F
+                x >>= 5
+                more = (x != -1) if (c & 0x10) else (x != 0)
+                if more:
+                    c |= 0x20
+                s.append(c + 48)
+        return bytes(s)
+
+    rng = np.random.default_rng(1)
+    m = rng.random((9, 11)) > 0.4
+    flat = m.T.ravel()
+    change = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    idx = np.concatenate([[0], change, [flat.size]])
+    counts = np.diff(idx).tolist()
+    if flat[0]:
+        counts = [0] + counts
+    rle = {"size": [9, 11], "counts": encode_counts(counts).decode()}
+    np.testing.assert_array_equal(decode_coco_rle(rle), m)

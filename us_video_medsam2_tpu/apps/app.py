@@ -1,0 +1,167 @@
+"""Interactive video-annotation web app (Gradio).
+
+Port of reference app.py:111-449 without the per-session child-process command
+loop (one jitted predictor serves sessions; JAX dispatch is already async):
+upload a video, click (positive/negative points) or draw a box on a frame,
+track through the video, export overlay mp4 + mask zip. Gradio is an optional
+dependency — the module degrades to the programmatic `AnnotationSession` API
+(used by tests) when it is unavailable.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+COLORS = [
+    (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0), (255, 0, 255),
+    (0, 255, 255), (255, 128, 0), (128, 0, 255),
+]
+
+
+class AnnotationSession:
+    """Predictor-backed annotation state for one video (reference app.py:342-423)."""
+
+    def __init__(self, predictor, video_path: str):
+        from us_video_medsam2_tpu.utils.video_io import load_video_frames
+
+        self.predictor = predictor
+        frames, vh, vw = load_video_frames(video_path, predictor.cfg.image_size)
+        # keep raw frames for overlays
+        self.raw, _, _ = (
+            load_video_frames(video_path, predictor.cfg.image_size, normalize=False)
+        )
+        self.vh, self.vw = vh, vw
+        self.state = predictor.init_state(frames, vh, vw, max_objects=8)
+        self.clicks = {}  # obj_id -> (points, labels)
+        self.masks_by_frame = {}
+
+    def click(self, frame_idx: int, obj_id: int, x: float, y: float, positive: bool):
+        pts, lbls = self.clicks.get(obj_id, ([], []))
+        pts = pts + [[x, y]]
+        lbls = lbls + [1 if positive else 0]
+        self.clicks[obj_id] = (pts, lbls)
+        _, obj_ids, masks = self.predictor.add_new_points_or_box(
+            self.state, frame_idx, obj_id,
+            points=np.array(pts, np.float32), labels=np.array(lbls, np.int32),
+        )
+        return obj_ids, masks > 0
+
+    def stroke_box(self, frame_idx: int, obj_id: int, box_xyxy):
+        _, obj_ids, masks = self.predictor.add_new_points_or_box(
+            self.state, frame_idx, obj_id, box=np.asarray(box_xyxy, np.float32)
+        )
+        return obj_ids, masks > 0
+
+    def track(self, start_frame_idx: Optional[int] = None):
+        self.masks_by_frame = {}
+        for fi, obj_ids, logits in self.predictor.propagate_in_video(
+            self.state, start_frame_idx=start_frame_idx
+        ):
+            self.masks_by_frame[fi] = (obj_ids, np.asarray(logits[:, 0]) > 0)
+        return self.masks_by_frame
+
+    def overlay_frame(self, frame_idx: int) -> np.ndarray:
+        import cv2
+
+        img = (self.raw[frame_idx] * 255).astype(np.uint8)
+        img = cv2.resize(img, (self.vw, self.vh))
+        if frame_idx in self.masks_by_frame:
+            obj_ids, masks = self.masks_by_frame[frame_idx]
+            for oi, oid in enumerate(obj_ids):
+                color = np.array(COLORS[oid % len(COLORS)], np.uint8)
+                m = masks[oi]
+                img[m] = (0.5 * color + 0.5 * img[m]).astype(np.uint8)
+        return img
+
+    def export(self, out_dir: str) -> Tuple[str, str]:
+        """Write overlay mp4 + mask zip (reference tracking_objects, app.py:267-330)."""
+        import cv2
+
+        os.makedirs(out_dir, exist_ok=True)
+        mp4_path = os.path.join(out_dir, "tracked.mp4")
+        writer = cv2.VideoWriter(
+            mp4_path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (self.vw, self.vh)
+        )
+        zip_path = os.path.join(out_dir, "masks.zip")
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for fi in range(len(self.raw)):
+                frame = self.overlay_frame(fi)
+                writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+                if fi in self.masks_by_frame:
+                    obj_ids, masks = self.masks_by_frame[fi]
+                    canvas = np.zeros((self.vh, self.vw), np.uint8)
+                    for oi, oid in enumerate(obj_ids):
+                        canvas[masks[oi]] = oid
+                    ok, png = cv2.imencode(".png", canvas)
+                    if ok:
+                        zf.writestr(f"{fi:05d}.png", png.tobytes())
+        writer.release()
+        return mp4_path, zip_path
+
+
+def build_demo(checkpoint: Optional[str] = None, cfg: str = "sam2.1_hiera_t512"):
+    try:
+        import gradio as gr
+    except ImportError as e:
+        raise ImportError(
+            "gradio is not installed in this environment; use AnnotationSession "
+            "programmatically or install gradio for the web UI"
+        ) from e
+
+    from us_video_medsam2_tpu.core.build import build_sam2_video_predictor
+
+    predictor = build_sam2_video_predictor(cfg, checkpoint)
+    sessions = {}
+
+    def load_video(video, request: "gr.Request"):
+        sess = AnnotationSession(predictor, video)
+        sessions[request.session_hash] = sess
+        return sess.overlay_frame(0), gr.update(maximum=len(sess.raw) - 1, value=0)
+
+    def on_click(frame_idx, obj_id, positive, evt: "gr.SelectData", request: "gr.Request"):
+        sess = sessions[request.session_hash]
+        x, y = evt.index
+        obj_ids, masks = sess.click(
+            int(frame_idx), int(obj_id), float(x), float(y), bool(positive)
+        )
+        sess.masks_by_frame[int(frame_idx)] = (obj_ids, masks[:, 0])
+        return sess.overlay_frame(int(frame_idx))
+
+    def on_track(request: "gr.Request"):
+        sess = sessions[request.session_hash]
+        sess.track()
+        out_dir = tempfile.mkdtemp(prefix="uvms2_")
+        mp4, zf = sess.export(out_dir)
+        return mp4, zf
+
+    with gr.Blocks(title="US-Video-MedSAM2 (TPU)") as demo:
+        gr.Markdown("## Promptable medical video segmentation — TPU")
+        with gr.Row():
+            video_in = gr.Video(label="input video")
+            frame_view = gr.Image(label="frame")
+        frame_slider = gr.Slider(0, 1, step=1, label="frame")
+        obj_id = gr.Number(value=1, label="object id")
+        positive = gr.Checkbox(value=True, label="positive click")
+        track_btn = gr.Button("Track")
+        video_out = gr.Video(label="tracked")
+        masks_out = gr.File(label="masks.zip")
+        video_in.change(load_video, [video_in], [frame_view, frame_slider])
+        frame_view.select(on_click, [frame_slider, obj_id, positive], [frame_view])
+        track_btn.click(on_track, [], [video_out, masks_out])
+    return demo
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--cfg", default="sam2.1_hiera_t512")
+    ap.add_argument("--port", type=int, default=7860)
+    args = ap.parse_args()
+    build_demo(args.checkpoint, args.cfg).launch(server_port=args.port)

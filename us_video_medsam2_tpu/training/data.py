@@ -745,3 +745,147 @@ class TrainMixedVideoLoader:
         for d, bs in zip(self.datasets, self.batch_sizes):
             n += max(0, len(d.indices()) // max(self.process_count, 1) // bs)
         return n
+
+
+# ------------------------------------------------------- SA-V / JSON datasets
+def decode_coco_rle(rle: Dict) -> np.ndarray:
+    """Decode a COCO RLE (compressed string or uncompressed counts) to [H, W] bool.
+
+    Pure-numpy replacement for pycocotools.mask.decode (the LEB128-style
+    char encoding of the compressed format).
+    """
+    h, w = rle["size"]
+    counts = rle["counts"]
+    if isinstance(counts, (bytes, str)):
+        s = counts.encode() if isinstance(counts, str) else counts
+        out, i = [], 0
+        while i < len(s):
+            x, k, more = 0, 0, True
+            while more:
+                c = s[i] - 48
+                x |= (c & 0x1F) << (5 * k)
+                more = bool(c & 0x20)
+                i += 1
+                k += 1
+            if x & (1 << (5 * k - 1)):  # sign extension
+                x |= -1 << (5 * k)
+            if len(out) > 2:
+                x += out[-2]
+            out.append(x)
+        counts = out
+    flat = np.zeros(h * w, bool)
+    idx, val = 0, False
+    for c in counts:
+        flat[idx : idx + c] = val
+        idx += c
+        val = not val
+    return flat.reshape(w, h).T  # column-major
+
+
+class JSONSegmentLoader:
+    """SA-V json annotations: per-frame lists of RLE masks per object
+    (reference vos_segment_loader.py:23-101)."""
+
+    def __init__(self, video_json_path, ann_every=1, frames_fps=24, valid_obj_ids=None):
+        import json
+
+        self.ann_every = ann_every
+        self.valid_obj_ids = valid_obj_ids
+        with open(video_json_path) as f:
+            data = json.load(f)
+        if isinstance(data, list):
+            self.frame_annots = data
+        else:
+            field = "masklet" if "masklet" in data else "masks"
+            self.frame_annots = data[field]
+            if "fps" in data:
+                fps = data["fps"][0] if isinstance(data["fps"], list) else data["fps"]
+                assert frames_fps % int(fps) == 0
+                self.ann_every = frames_fps // int(fps)
+
+    def load(self, frame_id, obj_ids=None):
+        assert frame_id % self.ann_every == 0
+        rles = self.frame_annots[frame_id // self.ann_every]
+        valid = set(range(len(rles)))
+        if self.valid_obj_ids is not None:
+            valid &= set(self.valid_obj_ids)
+        if obj_ids is not None:
+            valid &= set(obj_ids)
+        return {
+            oid: decode_coco_rle(rles[oid])
+            for oid in sorted(valid)
+            if rles[oid] is not None
+        }
+
+    def get_valid_obj_frames_ids(self, num_frames_min=None):
+        num_objects = len(self.frame_annots[0])
+        res = {oid: [] for oid in range(num_objects)}
+        for ai, annot in enumerate(self.frame_annots):
+            for oid in range(num_objects):
+                if annot[oid] is not None:
+                    res[oid].append(int(ai * self.ann_every))
+        if num_frames_min is not None:
+            res = {o: f for o, f in res.items() if len(f) >= num_frames_min}
+        return res
+
+
+class JSONRawDataset(VOSRawDataset):
+    """SA-V style dataset: JPEG frame folders + <video>_manual.json RLE
+    annotations (reference vos_raw_dataset.py:1116-1209)."""
+
+    def __init__(
+        self,
+        img_folder: str,
+        gt_folder: str,
+        file_list_txt: Optional[str] = None,
+        excluded_videos_list_txt=None,
+        sample_rate: int = 1,
+        rm_unannotated: bool = True,
+        ann_every: int = 1,
+        frames_fps: int = 24,
+    ):
+        self.img_folder = img_folder
+        self.gt_folder = gt_folder
+        self.sample_rate = sample_rate
+        self.rm_unannotated = rm_unannotated
+        self.ann_every = ann_every
+        self.frames_fps = frames_fps
+        excluded = set()
+        if excluded_videos_list_txt:
+            lists = (
+                [excluded_videos_list_txt]
+                if isinstance(excluded_videos_list_txt, str)
+                else list(excluded_videos_list_txt)
+            )
+            for lst in lists:
+                with open(lst) as f:
+                    excluded |= {os.path.splitext(line.strip())[0] for line in f}
+        if file_list_txt is not None:
+            with open(file_list_txt) as f:
+                subset = [os.path.splitext(line.strip())[0] for line in f]
+        else:
+            subset = os.listdir(img_folder)
+        self.video_names = sorted(v for v in subset if v not in excluded)
+
+    def get_video(self, idx: int):
+        from PIL import Image
+
+        name = self.video_names[idx]
+        loader = JSONSegmentLoader(
+            os.path.join(self.gt_folder, name + "_manual.json"),
+            ann_every=self.ann_every,
+            frames_fps=self.frames_fps,
+        )
+        vdir = os.path.join(self.img_folder, name)
+        files = sorted(os.listdir(vdir))[:: self.sample_rate]
+        frames = []
+        for i, f in enumerate(files):
+            fid = i * self.sample_rate
+            if fid % loader.ann_every != 0:
+                continue
+            img = np.asarray(Image.open(os.path.join(vdir, f)).convert("RGB"), np.float32)
+            frames.append(VOSFrame(fid, data=img / 255.0))
+        return VOSVideo(name, idx, frames), loader
+
+    def __len__(self):
+        return len(self.video_names)

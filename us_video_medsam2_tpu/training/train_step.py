@@ -83,6 +83,22 @@ def make_train_step(model: SAM2Model, cfg: TrainConfig, donate: bool = True):
     return jax.jit(train_step, **kwargs)
 
 
+def make_eval_step(model: SAM2Model, cfg: TrainConfig):
+    """Validation step: eval-mode prompt simulation + loss, no grads
+    (reference trainer.py:583-701 val loop)."""
+
+    def eval_step(params, batch: TrainBatch, rng):
+        stacked, finals = train_forward(
+            model, params, rng, batch.images, batch.masks, cfg.sim, is_training=False
+        )
+        obj_valid = batch.obj_valid.reshape(-1)
+        return multi_step_loss_stacked(
+            cfg.loss, stacked, obj_valid, final_logits_by_frame=finals
+        )
+
+    return jax.jit(eval_step)
+
+
 def optax_global_norm(tree):
     leaves = jax.tree.leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))

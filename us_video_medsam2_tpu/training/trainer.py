@@ -155,6 +155,22 @@ class Trainer:
                 )
         return {k: m.avg for k, m in meters.items()}
 
+    def val_epoch(self, epoch: int) -> Dict[str, float]:
+        if self.val_loader is None:
+            return {}
+        from us_video_medsam2_tpu.training.train_step import make_eval_step
+
+        if not hasattr(self, "_eval_step"):
+            self._eval_step = make_eval_step(self.model, self.train_cfg)
+        meter = AverageMeter("val_core_loss")
+        rng = jax.random.PRNGKey(7777 + epoch)
+        for batch in self.val_loader.get_loader(epoch):
+            rng, step_rng = jax.random.split(rng)
+            losses = self._eval_step(self.state.params, self._to_device(batch), step_rng)
+            meter.update(float(losses["core_loss"]))
+        logging.info("epoch %d val loss %.4f", epoch, meter.avg)
+        return {"val_core_loss": meter.avg}
+
     def run(self):
         stats_path = os.path.join(self.cfg.save_dir, "train_stats.json")
         best_path = os.path.join(self.cfg.save_dir, "best_stats.json")
@@ -168,6 +184,8 @@ class Trainer:
                 "steps": int(self.state.step),
                 "time_elapsed": self.time_meter.elapsed,
             }
+            if self.val_loader is not None and epoch % self.cfg.val_epoch_freq == 0:
+                record.update(self.val_epoch(epoch))
             with open(stats_path, "a") as f:
                 f.write(json.dumps(record) + "\n")
             if stats[self.cfg.best_meter_key] < self.best:
