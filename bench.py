@@ -59,7 +59,10 @@ def main():
             num_frames=state.num_frames,
             reverse=False,
         )
-        return lows.block_until_ready()
+        # force TRUE completion with a host fetch — block_until_ready alone can
+        # return early through remote-TPU tunnels
+        np.asarray(lows[-1, 0, :2, :2])
+        return lows
 
     for _ in range(warmup_runs):
         run()

@@ -81,6 +81,7 @@ class SAM2VideoPredictor:
         fill_hole_area: int = 8,
         non_overlap_masks: bool = False,
         bank_dtype=jnp.bfloat16,
+        precompute_features_batch: int = 0,
     ):
         self.model = model
         self.params = params
@@ -89,6 +90,9 @@ class SAM2VideoPredictor:
         self.non_overlap_masks = non_overlap_masks
         # reference predictor stores spatial memories in bf16 (predictor:944)
         self.bank_dtype = bank_dtype
+        # 0/1 = encode per frame inside the scan (lowest memory); N>1 = encode
+        # all frames in batches of N before the scan (fastest)
+        self.precompute_batch = precompute_features_batch
         self._encode_frame = jax.jit(self._encode_frame_impl)
         self._prompt = jax.jit(
             self._prompt_impl,
@@ -221,11 +225,30 @@ class SAM2VideoPredictor:
         o = bank.maskmem.shape[0]
         fs = cfg.feat_size
 
+        feats_all = None
+        nb = self.precompute_batch
+        if nb > 1:
+            # encode all frames in MXU-friendly batches before the tracking scan
+            # (the reference encodes per frame inside its python loop; batching
+            # the encoder is free accuracy-wise and much better utilization)
+            pad = (-num_frames) % nb
+            imgs = jnp.pad(images, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            chunks = imgs.reshape(-1, nb, *images.shape[1:])
+            feats_all = jax.lax.map(
+                lambda c: self._encode_frame_impl(params, c), chunks
+            )
+            feats_all = jax.tree.map(
+                lambda x: x.reshape(-1, *x.shape[2:])[:num_frames], feats_all
+            )
+
         def body(bank, i):
             t = (num_frames - 1 - i) if reverse else i
 
             def run(bank):
-                feats1 = self._encode_frame_impl(params, images[t][None])
+                if feats_all is None:
+                    feats1 = self._encode_frame_impl(params, images[t][None])
+                else:
+                    feats1 = jax.tree.map(lambda x: x[t][None], feats_all)
                 feats = {
                     k: jnp.broadcast_to(v, (o, *v.shape[1:])) for k, v in feats1.items()
                 }
