@@ -889,3 +889,96 @@ class JSONRawDataset(VOSRawDataset):
 
     def __len__(self):
         return len(self.video_names)
+
+
+# --------------------------------------------------- additional curricula
+class SignalCurriculumMixin:
+    """Stochastic temporal-resolution curriculum: dense (stride 1) -> stochastic
+    expand (stride 2 with jitter) -> full (reference sam2_datasets.py:499-533).
+    Applied by TrainMixedVideoLoader when the dataset exposes these knobs."""
+
+    temporal_stride: int = 1
+    use_stochastic: bool = False
+
+
+class SignalCurriculumNPZRawDataset(NPZRawDataset, SignalCurriculumMixin):
+    def __init__(self, folder: str, max_epochs: int = 100, **kw):
+        super().__init__(folder, **kw)
+        self.max_epochs = max_epochs
+        self.temporal_stride = 1
+        self.use_stochastic = False
+
+    def set_epoch(self, epoch: int):
+        progress = epoch / max(self.max_epochs, 1)
+        if progress < 0.2:
+            self.temporal_stride, self.use_stochastic = 1, False
+        elif progress < 0.6:
+            self.temporal_stride, self.use_stochastic = 2, True
+        else:
+            self.temporal_stride, self.use_stochastic = 1, False
+
+    def get_video(self, idx: int):
+        video, loader = super().get_video(idx)
+        stride = self.temporal_stride
+        if self.use_stochastic and stride > 1:
+            stride = random.choice([1, stride])
+        if stride > 1:
+            video = VOSVideo(video.video_name, video.video_id, video.frames[::stride])
+            loader = NPZSegmentLoader(loader.masks[::stride])
+        return video, loader
+
+
+class FAPCurriculumNPZRawDataset(NPZRawDataset):
+    """Frequency-aware progressive curriculum (reference FAP_CLDataset,
+    sam2_datasets.py:212-496): rank videos by their low-frequency energy share
+    (2D Haar-like decomposition of the first frame; pywt-free) and grow the
+    training pool from low-frequency-dominant (easy) to all (hard)."""
+
+    def __init__(self, folder: str, milestones: Optional[Dict[str, int]] = None, **kw):
+        super().__init__(folder, **kw)
+        self.milestones = milestones or {"expand": 20, "full": 50}
+        self.all_video_names = list(self.video_names)
+        self.scores = {v: self._low_freq_share(v) for v in self.all_video_names}
+        self.stage = "dense"
+        self._apply()
+
+    def _low_freq_share(self, video_name: str) -> float:
+        try:
+            img = np.load(os.path.join(self.folder, f"{video_name}.npz"))["imgs"][0]
+            if img.ndim == 3:
+                img = img.mean(-1)
+            img = img.astype(np.float32)
+            h, w = (img.shape[0] // 2) * 2, (img.shape[1] // 2) * 2
+            img = img[:h, :w]
+            a = img[0::2, 0::2]; b = img[0::2, 1::2]
+            c = img[1::2, 0::2]; d = img[1::2, 1::2]
+            ll = (a + b + c + d) / 4
+            lh = (a - b + c - d) / 4
+            hl = (a + b - c - d) / 4
+            hh = (a - b - c + d) / 4
+            e_ll = float((ll**2).sum())
+            e_hi = float((lh**2).sum() + (hl**2).sum() + (hh**2).sum())
+            return e_ll / max(e_ll + e_hi, 1e-8)
+        except Exception:  # noqa: BLE001
+            return 0.0
+
+    def set_epoch(self, epoch: int):
+        if epoch >= self.milestones.get("full", 50):
+            stage = "full"
+        elif epoch >= self.milestones.get("expand", 20):
+            stage = "expand"
+        else:
+            stage = "dense"
+        if stage != self.stage:
+            self.stage = stage
+            self._apply()
+
+    def force_stage(self, stage: str):
+        self.stage = stage
+        self._apply()
+
+    def _apply(self):
+        ordered = sorted(self.all_video_names, key=lambda v: -self.scores[v])
+        frac = {"dense": 0.3, "expand": 0.6, "full": 1.0}[self.stage]
+        n = max(1, int(len(ordered) * frac))
+        self.video_names = sorted(ordered[:n])
