@@ -117,3 +117,82 @@ def test_landmark_pooling_reduces_to_full_attention_on_constant_memory():
     )
     assert np.isfinite(np.asarray(land)).all()
     assert land.shape == full.shape
+
+
+# ---------------------------------------------------------------- parity
+MINI_EFF = SAM2Config(
+    image_size=256,
+    hiera=None,
+    vitdet=ViTDetConfig(
+        img_size=256, patch_size=16, embed_dim=48, depth=4, num_heads=2,
+        window_size=4, window_block_indexes=(0, 1), pretrain_img_size=224,
+    ),
+    neck=FpnNeckConfig(
+        d_model=64, backbone_channel_list=(48,), fpn_top_down_levels=(),
+        neck_norm="LN",
+    ),
+    neck_scalp=0,
+    use_high_res_features_in_sam=False,
+    add_tpos_enc_to_obj_ptrs=False,
+    proj_tpos_enc_in_obj_ptrs=False,
+    use_signed_tpos_enc_to_obj_ptrs=False,
+    no_obj_embed_spatial=False,
+    memory_attention=MemoryAttentionConfig(
+        d_model=64, num_layers=2, dim_feedforward=128, rope_feat_sizes=(16, 16),
+        kv_in_dim=16,
+    ),
+    memory_encoder=MemoryEncoderConfig(
+        out_dim=16, in_dim=64, mask_downsampler_embed_dim=64, pos_channels=16
+    ),
+)
+
+
+def test_efficienttam_parity_vs_reference_fixture():
+    """Full 3-frame EfficientTAM tracking vs the reference EfficientTAMBase."""
+    from tests.conftest import require_fixture
+    from us_video_medsam2_tpu.core.import_torch import convert_reference_state_dict
+
+    sd = dict(np.load(require_fixture("efftam_state_dict.npz")))
+    params = convert_reference_state_dict(sd, MINI_EFF)
+    model = SAM2Model(MINI_EFF)
+    ref_tree = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))
+    ref_paths = {
+        "/".join(map(str, p))
+        for p, _ in jax.tree_util.tree_leaves_with_path(ref_tree)
+    }
+    got_paths = {
+        "/".join(map(str, p))
+        for p, _ in jax.tree_util.tree_leaves_with_path(params)
+    }
+    assert ref_paths == got_paths, (
+        sorted(ref_paths - got_paths)[:5],
+        sorted(got_paths - ref_paths)[:5],
+    )
+
+    fx = np.load(require_fixture("efftam_track.npz"))
+    frames = jnp.asarray(np.transpose(fx["frames"], (0, 2, 3, 1)))
+    be = model.apply(params, frames, method=model.forward_image)
+    top = be["backbone_fpn"][-1]
+
+    from us_video_medsam2_tpu.models.memory_bank import init_memory_bank
+
+    bank = init_memory_bank(1, 3, 16 * 16, MINI_EFF.mem_dim, MINI_EFF.hidden_dim)
+    for t in range(3):
+        feats = {"top": top[t : t + 1]}
+        kwargs = dict(multimask_output=True)
+        pc = pl = None
+        if t == 0:
+            kwargs.update(is_init_cond_frame=True, is_cond_frame=True)
+            pc = jnp.asarray([[[120.0, 135.0]]])
+            pl = jnp.asarray([[1]], jnp.int32)
+        out, bank = model.apply(
+            params, jnp.asarray(t), feats, bank, 3, pc, pl,
+            method=model.track_step, **kwargs,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["low_res_masks"]), fx[f"pred_masks_{t}"],
+            rtol=2e-3, atol=2e-3, err_msg=f"frame {t}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["obj_ptr"]), fx[f"obj_ptr_{t}"], rtol=2e-3, atol=2e-3
+        )

@@ -81,6 +81,7 @@ class FpnNeckConfig:
     fpn_interp_model: str = "nearest"
     fuse_type: str = "sum"
     pos_temperature: float = 10000.0
+    neck_norm: str | None = None  # 'LN' for the EfficientMedSAM ViTDetNeck
 
 
 @dataclass(frozen=True)
@@ -267,13 +268,19 @@ def efficienttam_s_512() -> SAM2Config:
     return SAM2Config(
         hiera=None,
         vitdet=ViTDetConfig(),
-        neck=FpnNeckConfig(backbone_channel_list=(384,), fpn_top_down_levels=()),
+        neck=FpnNeckConfig(
+            backbone_channel_list=(384,), fpn_top_down_levels=(), neck_norm="LN"
+        ),
         neck_scalp=0,
         use_high_res_features_in_sam=False,
+        add_tpos_enc_to_obj_ptrs=False,
         proj_tpos_enc_in_obj_ptrs=False,
         use_signed_tpos_enc_to_obj_ptrs=False,
         no_obj_embed_spatial=False,
-        memory_attention=MemoryAttentionConfig(efficient_pool_size=2),
+        # the shipped EfficientMedSAM config uses the plain RoPE memory attention
+        # (efficientmedsam_s_512_FLARE_RECIST.yaml:106-137); set
+        # efficient_pool_size=2 for the efficient_track_anything landmark variant
+        memory_attention=MemoryAttentionConfig(),
     )
 
 

@@ -68,7 +68,7 @@ def convert_reference_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
         return key in sd
 
     # ---------------- trunk (Hiera) ----------------
-    if has("image_encoder.trunk.patch_embed.proj.weight"):
+    if has("image_encoder.trunk.pos_embed_window"):
         _put(
             out,
             "image_encoder/trunk/patch_embed/kernel",
@@ -106,11 +106,35 @@ def convert_reference_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
                 _put(out, f"{j}/proj/kernel", _lin(sd[f"{t}.proj.weight"]))
                 _put(out, f"{j}/proj/bias", sd[f"{t}.proj.bias"])
 
-    # ---------------- trunk (ViTDet) ----------------
-    if has("image_encoder.trunk.patch_embed.proj.weight") is False and has(
-        "image_encoder.trunk.blocks.0.attn.qkv.weight"
+    # ---------------- trunk (ViTDet — EfficientTAM family) ----------------
+    if not has("image_encoder.trunk.pos_embed_window") and has(
+        "image_encoder.trunk.pos_embed"
     ):
-        pass  # ViTDet import is handled by import_vitdet (EfficientTAM family)
+        # plain-ViT trunk: pos_embed [1, N(+cls), C] kept as-is
+        _put(out, "image_encoder/trunk/pos_embed", take("image_encoder.trunk.pos_embed"))
+        if has("image_encoder.trunk.patch_embed.proj.weight"):
+            # overwrite the hiera-style mapping above isn't possible (hiera has
+            # pos_embed_window); for ViT this is the only patch_embed mapping
+            _put(
+                out,
+                "image_encoder/trunk/patch_embed/kernel",
+                _conv(take("image_encoder.trunk.patch_embed.proj.weight")),
+            )
+            _put(
+                out,
+                "image_encoder/trunk/patch_embed/bias",
+                take("image_encoder.trunk.patch_embed.proj.bias"),
+            )
+        vit_block_re = re.compile(r"image_encoder\.trunk\.blocks\.(\d+)\.")
+        for i in sorted({int(m.group(1)) for k in sd if (m := vit_block_re.match(k))}):
+            t = f"image_encoder.trunk.blocks.{i}"
+            j = f"image_encoder/trunk/blocks_{i}"
+            _map_norm(out, f"{t}.norm1", f"{j}/norm1", sd)
+            _map_norm(out, f"{t}.norm2", f"{j}/norm2", sd)
+            for suffix in ("qkv", "proj"):
+                _put(out, f"{j}/attn/{suffix}/kernel", _lin(sd[f"{t}.attn.{suffix}.weight"]))
+                _put(out, f"{j}/attn/{suffix}/bias", sd[f"{t}.attn.{suffix}.bias"])
+            _map_mlp(out, f"{t}.mlp", f"{j}/mlp", sd, 2)
 
     # ---------------- neck ----------------
     neck_re = re.compile(r"image_encoder\.neck\.convs\.(\d+)\.conv\.weight")
@@ -124,6 +148,18 @@ def convert_reference_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
                 f"image_encoder/neck/convs_{j}/bias",
                 sd[f"image_encoder.neck.convs.{j}.conv.bias"],
             )
+    # ViTDetNeck: convs.0.conv_1x1 / norm_0 / conv_3x3 / norm_1
+    if has("image_encoder.neck.convs.0.conv_1x1.weight"):
+        base = "image_encoder.neck.convs.0"
+        _put(out, "image_encoder/neck/convs_0_conv_1x1/kernel", _conv(sd[f"{base}.conv_1x1.weight"]))
+        if has(f"{base}.conv_1x1.bias"):
+            _put(out, "image_encoder/neck/convs_0_conv_1x1/bias", sd[f"{base}.conv_1x1.bias"])
+        _put(out, "image_encoder/neck/convs_0_conv_3x3/kernel", _conv(sd[f"{base}.conv_3x3.weight"]))
+        if has(f"{base}.conv_3x3.bias"):
+            _put(out, "image_encoder/neck/convs_0_conv_3x3/bias", sd[f"{base}.conv_3x3.bias"])
+        if has(f"{base}.norm_0.weight"):
+            _map_norm(out, f"{base}.norm_0", "image_encoder/neck/convs_0_norm_0", sd)
+            _map_norm(out, f"{base}.norm_1", "image_encoder/neck/convs_0_norm_1", sd)
 
     # ---------------- core params ----------------
     _put(out, "maskmem_tpos_enc", take("maskmem_tpos_enc").reshape(cfg.num_maskmem, -1))

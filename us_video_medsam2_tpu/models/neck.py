@@ -61,7 +61,12 @@ class FpnNeck(nn.Module):
 
 
 class ViTDetNeck(nn.Module):
-    """Single-level neck for plain-ViT trunks (reference image_encoder.py:139-200)."""
+    """Single-level neck for plain-ViT trunks (reference image_encoder.py:139-200).
+
+    With `neck_norm` set (the EfficientMedSAM configs use 'LN',
+    efficientmedsam_s_512_FLARE_RECIST.yaml:96-105), convs are bias-free and
+    each is followed by LayerNorm2d.
+    """
 
     cfg: FpnNeckConfig
     dtype: jnp.dtype = jnp.float32
@@ -69,16 +74,24 @@ class ViTDetNeck(nn.Module):
     @nn.compact
     def __call__(self, xs: List[jnp.ndarray]):
         cfg = self.cfg
+        use_norm = cfg.neck_norm is not None
         x = xs[0]
-        x = nn.Conv(cfg.d_model, (1, 1), use_bias=True, dtype=self.dtype, name="convs_0_conv_1x1")(x)
+        x = nn.Conv(
+            cfg.d_model, (1, 1), use_bias=not use_norm, dtype=self.dtype,
+            name="convs_0_conv_1x1",
+        )(x)
+        if use_norm:
+            x = LayerNorm(eps=1e-6, dtype=self.dtype, name="convs_0_norm_0")(x)
         x = nn.Conv(
             cfg.d_model,
             (3, 3),
             padding=((1, 1), (1, 1)),
-            use_bias=True,
+            use_bias=not use_norm,
             dtype=self.dtype,
             name="convs_0_conv_3x3",
         )(x)
+        if use_norm:
+            x = LayerNorm(eps=1e-6, dtype=self.dtype, name="convs_0_norm_1")(x)
         pos = sine_pos_embed_2d(
             x.shape[1], x.shape[2], cfg.d_model, cfg.pos_temperature
         ).astype(x.dtype)

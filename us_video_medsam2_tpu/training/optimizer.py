@@ -37,6 +37,10 @@ class OptimConfig:
     eps: float = 1e-8
     layer_decay: float = 0.9
     layer_decay_min: float | None = None
+    # unix patterns of params to freeze (EfficientTAMTrain's freeze_image_encoder/
+    # freeze_memory_encoder/freeze_memory_attention/train_only_decoder,
+    # reference training/model/efficienttam.py:70-129)
+    freeze_patterns: tuple = ()
     grad_dtype: str = "float32"  # 'bfloat16' casts grads before the DP all-reduce
 
 
@@ -80,6 +84,8 @@ def compute_param_meta(params, cfg: OptimConfig):
                 mult = cfg.layer_decay ** (num_layers + 1 - lid)
                 if cfg.layer_decay_min is not None:
                     mult = max(mult, cfg.layer_decay_min)
+        if any(fnmatch.fnmatch(p, pat) for pat in cfg.freeze_patterns):
+            mult = 0.0  # frozen params take precedence over any lr modifier
         # no weight decay on biases and norm/affine params (GFTE_3.yaml:283-289)
         is_bias = p.endswith("/bias")
         is_norm = "/norm" in p or p.endswith("/scale") or "_ln" in p
