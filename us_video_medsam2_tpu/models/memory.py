@@ -50,6 +50,8 @@ class MemoryAttentionLayer(nn.Module):
             cfg.rope_theta,
         )
 
+        drop = lambda name: nn.Dropout(cfg.dropout, name=name)
+
         # Self-attention (RoPE; pos only if pos_enc_at_attn)
         tgt2 = ln("norm1")(tgt)
         q = k = tgt2 + query_pos if cfg.pos_enc_at_attn else tgt2
@@ -59,8 +61,8 @@ class MemoryAttentionLayer(nn.Module):
             dropout=cfg.dropout,
             dtype=self.dtype,
             name="self_attn",
-        )(q, k, tgt2, rope_cos, rope_sin)
-        tgt = tgt + tgt2
+        )(q, k, tgt2, rope_cos, rope_sin, deterministic=deterministic)
+        tgt = tgt + drop("dropout1")(tgt2, deterministic=deterministic)
 
         # Cross-attention to memories (RoPE with k-repeat; ptr tokens unrotated)
         tgt2 = ln("norm2")(tgt)
@@ -81,17 +83,19 @@ class MemoryAttentionLayer(nn.Module):
             rope_k_len=num_k_rope,
             rope_k_repeat=True,
             key_mask=key_mask,
+            deterministic=deterministic,
             landmark_pool=cfg.efficient_pool_size,
             spatial_hw=cfg.rope_feat_sizes,
         )
-        tgt = tgt + tgt2
+        tgt = tgt + drop("dropout2")(tgt2, deterministic=deterministic)
 
-        # FFN
+        # FFN (dropout placement per reference memory_attention.py:96-98)
         tgt2 = ln("norm3")(tgt)
         act = ACTIVATIONS[cfg.activation]
         tgt2 = nn.Dense(cfg.dim_feedforward, dtype=self.dtype, name="linear1")(tgt2)
-        tgt2 = nn.Dense(cfg.d_model, dtype=self.dtype, name="linear2")(act(tgt2))
-        return tgt + tgt2
+        tgt2 = drop("dropout")(act(tgt2), deterministic=deterministic)
+        tgt2 = nn.Dense(cfg.d_model, dtype=self.dtype, name="linear2")(tgt2)
+        return tgt + drop("dropout3")(tgt2, deterministic=deterministic)
 
 
 class MemoryAttention(nn.Module):

@@ -116,6 +116,23 @@ class RoPEAttention(nn.Module):
             out = self._landmark_attention(
                 q, k, v, n_rope, landmark_pool, spatial_hw, key_mask
             )
+        elif self.dropout > 0.0 and not deterministic:
+            # attention-weight dropout (reference transformer.py:340-344); manual
+            # path since the flash kernel doesn't support prob dropout
+            d_h = q.shape[-1]
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * (d_h**-0.5)
+            if key_mask is not None:
+                logits = jnp.where(key_mask[:, None, None, :], logits, -1e30)
+            probs = jax.nn.softmax(logits, axis=-1)
+            probs = nn.Dropout(self.dropout, deterministic=False, name="attn_drop")(
+                probs
+            )
+            out = jnp.einsum(
+                "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            ).astype(q.dtype)
         else:
             out = sdpa(q, k, v, key_mask=key_mask)
         b, h, n, d = out.shape

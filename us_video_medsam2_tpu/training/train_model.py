@@ -206,7 +206,7 @@ def train_forward(
 
     def frame_body(bank, xs):
         i, ti, is_init, key = xs
-        keys = jax.random.split(key, 2 + n_corr_pts)
+        keys = jax.random.split(key, 3 + n_corr_pts)
         top = jnp.take(top_all, ti, axis=0)
         hr = None
         if cfg.use_high_res_features_in_sam:
@@ -255,7 +255,10 @@ def train_forward(
                 t,
                 False,
                 is_training,
+                not is_training,  # deterministic=False in training (dropout 0.1,
+                # reference memory_attention dropout)
                 method=model.condition_on_memory,
+                rngs={"dropout": keys[2]} if is_training else None,
             )
             out = heads(pix, coords0, labels0, None, hr, True)
             return pack(out, pix, coords0, labels0)
@@ -295,7 +298,7 @@ def train_forward(
         carry, corr_steps = jax.lax.scan(
             jax.checkpoint(corr_body, prevent_cse=False),
             step0,
-            (jnp.arange(n_corr_pts), keys[2 : 2 + n_corr_pts]),
+            (jnp.arange(n_corr_pts), keys[3 : 3 + n_corr_pts]),
         )
 
         # ---- memory encoding + bank write ----
