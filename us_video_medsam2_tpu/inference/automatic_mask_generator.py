@@ -169,6 +169,36 @@ class SAM2AutomaticMaskGenerator:
         del data["masks"]
         return data
 
+    def refine_with_m2m(self, points, low_res_masks):
+        """Mask->mask refinement: re-run the decoder feeding each mask's own
+        low-res logits as the mask prompt (reference
+        automatic_mask_generator.py:440-457).
+
+        points: [N, 2] original-resolution coords; low_res_masks: [N, h, w] logits.
+        Returns (refined low-res logits [N, 1, h, w], ious [N, 1]).
+        """
+        import jax.numpy as jnp
+
+        from us_video_medsam2_tpu.inference.transforms import transform_coords
+
+        pred = self.predictor
+        n = len(points)
+        coords = transform_coords(
+            np.asarray(points, np.float32).reshape(n, 1, 2),
+            pred._orig_hw,
+            pred.cfg.image_size,
+        )
+        out = pred._predict(
+            pred.params,
+            pred._features,
+            jnp.asarray(coords),
+            jnp.ones((n, 1), jnp.int32),
+            jnp.asarray(low_res_masks[..., None], jnp.float32),
+            multimask=False,
+            has_mask=True,
+        )
+        return np.asarray(out["low_res_multimasks"]), np.asarray(out["ious"])
+
     @staticmethod
     def postprocess_small_regions(data: MaskData, min_area: int, nms_thresh: float):
         """(reference automatic_mask_generator.py:390-438)"""

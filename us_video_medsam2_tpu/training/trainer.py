@@ -78,7 +78,23 @@ class Trainer:
         self.time_meter = DurationMeter()
         self.mem_meter = MemMeter()
         os.makedirs(self.cfg.save_dir, exist_ok=True)
+        self.tb = self._make_tb_writer()
         self._maybe_resume()
+
+    def _make_tb_writer(self):
+        """rank-0 TensorBoard writer (reference training/utils/logger.py:27-150)."""
+        try:
+            import jax
+
+            if jax.process_index() != 0:
+                return None
+            from torch.utils.tensorboard import SummaryWriter
+
+            return SummaryWriter(
+                log_dir=os.path.join(self.cfg.save_dir, "tensorboard"), flush_secs=120
+            )
+        except Exception:  # noqa: BLE001
+            return None
 
     # ----------------------------------------------------------- persistence
     def _ckpt_state(self):
@@ -140,6 +156,12 @@ class Trainer:
                 )  # NaN guard (reference trainer.py:865-871)
             for k, m in meters.items():
                 m.update(float(metrics[k]))
+            if self.tb is not None and it % self.cfg.log_freq == 0:
+                step = int(self.state.step)
+                self.tb.add_scalar("Losses/train_all_loss", core, step)
+                for k in ("loss_mask", "loss_dice", "loss_iou", "loss_class", "loss_temporal"):
+                    if k in metrics:
+                        self.tb.add_scalar(f"Losses/{k}", float(metrics[k]), step)
             batch_time.update(time.monotonic() - t_last)
             t_last = time.monotonic()
             self.mem_meter.update()
