@@ -307,13 +307,12 @@ class SAM2Model(nn.Module):
                 is_obj_appearing[..., None, None], out_masks, NO_OBJ_SCORE
             )
         low_res_multimasks = out_masks.astype(jnp.float32)
-        # upsample logits to image resolution: [B,M,h,w] -> NHWC resize -> back
-        hi = resize2d(
-            low_res_multimasks.transpose(0, 2, 3, 1),
-            (c.image_size, c.image_size),
-            mode="linear",
-        )
-        high_res_multimasks = hi.transpose(0, 3, 1, 2)
+
+        def upsample(masks):  # [B,M,h,w] logits -> image resolution
+            hi = resize2d(
+                masks.transpose(0, 2, 3, 1), (c.image_size, c.image_size), mode="linear"
+            )
+            return hi.transpose(0, 3, 1, 2)
 
         sam_output_token = sam_tokens_out[:, 0]
         if multimask_output:
@@ -321,14 +320,24 @@ class SAM2Model(nn.Module):
             low_res_masks = jnp.take_along_axis(
                 low_res_multimasks, best[:, None, None, None], axis=1
             )
-            high_res_masks = jnp.take_along_axis(
-                high_res_multimasks, best[:, None, None, None], axis=1
-            )
             if sam_tokens_out.shape[1] > 1:
                 sam_output_token = jnp.take_along_axis(
                     sam_tokens_out, best[:, None, None], axis=1
                 )[:, 0]
+            if is_training:
+                # training loss needs every channel at image resolution
+                high_res_multimasks = upsample(low_res_multimasks)
+                high_res_masks = jnp.take_along_axis(
+                    high_res_multimasks, best[:, None, None, None], axis=1
+                )
+            else:
+                # eval: select at low resolution (selection is resolution-
+                # independent: bilinear upsampling commutes with the per-batch
+                # channel gather), upsample only the chosen mask
+                high_res_masks = upsample(low_res_masks)
+                high_res_multimasks = high_res_masks
         else:
+            high_res_multimasks = upsample(low_res_multimasks)
             low_res_masks, high_res_masks = low_res_multimasks, high_res_multimasks
 
         obj_ptr = self.obj_ptr_proj(sam_output_token)

@@ -66,3 +66,36 @@ def shard_pytree_batch(tree, mesh: Mesh, axis: int = 0, mesh_axis: str = "data")
 def replicate_pytree(tree, mesh: Mesh):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def broadcast_object(obj, is_source: bool = None):
+    """Broadcast a host-side python object from process 0 to all hosts
+    (reference training/utils/distributed.py:411-483 broadcast_object; TPU-native
+    via multihost_utils)."""
+    if jax.process_count() == 1:
+        return obj
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(
+        obj, is_source=is_source if is_source is not None else jax.process_index() == 0
+    )
+
+
+def all_gather_objects(obj):
+    """Gather a pytree of arrays from every host (reference distributed.py
+    all_gather_* family, incl. the filesystem fallback — unnecessary here)."""
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(obj)
+    n = jax.process_count()
+    return [jax.tree.map(lambda x: x[i], gathered) for i in range(n)]
+
+
+def sync_hosts(name: str = "barrier"):
+    """Cross-host barrier (reference distributed.py barrier())."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)

@@ -982,3 +982,138 @@ class FAPCurriculumNPZRawDataset(NPZRawDataset):
         frac = {"dense": 0.3, "expand": 0.6, "full": 1.0}[self.stage]
         n = max(1, int(len(ordered) * frac))
         self.video_names = sorted(ordered[:n])
+
+
+# -------------------------------------------------------- SA1B image dataset
+class SA1BSegmentLoader:
+    """Lazy RLE decoding of SA-1B per-image annotations
+    (reference vos_segment_loader.py:232-302)."""
+
+    def __init__(
+        self,
+        mask_path: str,
+        mask_area_frac_thresh: float = 1.1,
+        video_frame_path: Optional[str] = None,
+        uncertain_iou: float = -1,
+    ):
+        import json
+
+        with open(mask_path) as f:
+            annots = json.load(f)
+        if isinstance(annots, dict):
+            annots = annots["annotations"]
+        if uncertain_iou > 0:
+            annots = [a for a in annots if a.get("stability_score", 1.0) >= uncertain_iou]
+        if mask_area_frac_thresh <= 1.0 and video_frame_path is not None:
+            from PIL import Image
+
+            w, h = Image.open(video_frame_path).size
+            annots = [
+                a for a in annots if a["area"] <= mask_area_frac_thresh * w * h
+            ]
+        self.rles = {i: a["segmentation"] for i, a in enumerate(annots)}
+        self._cache: Dict[int, np.ndarray] = {}
+
+    def load(self, frame_idx: int) -> Dict[int, np.ndarray]:
+        return {i: self._decode(i) for i in self.rles}
+
+    def _decode(self, i: int) -> np.ndarray:
+        if i not in self._cache:
+            self._cache[i] = decode_coco_rle(self.rles[i])
+        return self._cache[i]
+
+
+class SA1BRawDataset(VOSRawDataset):
+    """SA-1B static images as 1-frame videos (reference vos_raw_dataset.py:973-1039)."""
+
+    def __init__(
+        self,
+        img_folder: str,
+        gt_folder: str,
+        file_list_txt: Optional[str] = None,
+        excluded_videos_list_txt: Optional[str] = None,
+        num_frames: int = 1,
+        mask_area_frac_thresh: float = 1.1,
+        uncertain_iou: float = -1,
+    ):
+        self.img_folder = img_folder
+        self.gt_folder = gt_folder
+        self.num_frames = num_frames
+        self.mask_area_frac_thresh = mask_area_frac_thresh
+        self.uncertain_iou = uncertain_iou
+        if file_list_txt is not None:
+            with open(file_list_txt) as f:
+                subset = [os.path.splitext(line.strip())[0] for line in f]
+        else:
+            subset = [
+                p.split(".")[0] for p in os.listdir(img_folder) if p.endswith(".jpg")
+            ]
+        excluded = set()
+        if excluded_videos_list_txt is not None:
+            with open(excluded_videos_list_txt) as f:
+                excluded = {os.path.splitext(line.strip())[0] for line in f}
+        self.video_names = [v for v in subset if v not in excluded]
+
+    def get_video(self, idx: int):
+        from PIL import Image
+
+        name = self.video_names[idx]
+        img_path = os.path.join(self.img_folder, name + ".jpg")
+        loader = SA1BSegmentLoader(
+            os.path.join(self.gt_folder, name + ".json"),
+            mask_area_frac_thresh=self.mask_area_frac_thresh,
+            video_frame_path=img_path,
+            uncertain_iou=self.uncertain_iou,
+        )
+        img = np.asarray(Image.open(img_path).convert("RGB"), np.float32) / 255.0
+        frames = [VOSFrame(i, data=img) for i in range(self.num_frames)]
+        vid = name.split("_")[-1]
+        return VOSVideo(vid, int(vid) if vid.isdigit() else idx, frames), loader
+
+    def __len__(self):
+        return len(self.video_names)
+
+
+class RandomMosaicVideoAPI:
+    """2x2 mosaic distractor augmentation: tile the frame into a grid, keep the
+    target's mask only in one cell (reference transforms.py:528-560)."""
+
+    def __init__(self, prob=0.15, grid_h=2, grid_w=2, use_random_hflip=False):
+        self.prob = prob
+        self.grid_h = grid_h
+        self.grid_w = grid_w
+        self.use_random_hflip = use_random_hflip
+
+    def __call__(self, dp: VideoDatapoint) -> VideoDatapoint:
+        if random.random() > self.prob or cv2 is None:
+            return dp
+        ty = random.randint(0, self.grid_h - 1)
+        tx = random.randint(0, self.grid_w - 1)
+        hflip = (
+            np.random.rand(self.grid_h, self.grid_w) < 0.5
+            if self.use_random_hflip
+            else np.zeros((self.grid_h, self.grid_w), bool)
+        )
+        h, w = dp.images[0].shape[:2]
+        ch, cw = h // self.grid_h, w // self.grid_w
+        for fi in range(len(dp.images)):
+            img = dp.images[fi]
+            small = cv2.resize(img, (cw, ch), interpolation=cv2.INTER_LINEAR)
+            canvas = np.zeros_like(img)
+            for gy in range(self.grid_h):
+                for gx in range(self.grid_w):
+                    cell = small[:, ::-1] if hflip[gy, gx] else small
+                    canvas[gy * ch : (gy + 1) * ch, gx * cw : (gx + 1) * cw] = cell
+            dp.images[fi] = canvas
+            new_masks = {}
+            for oid, m in dp.masks[fi].items():
+                sm = cv2.resize(
+                    m.astype(np.uint8), (cw, ch), interpolation=cv2.INTER_NEAREST
+                ).astype(bool)
+                if hflip[ty, tx]:
+                    sm = sm[:, ::-1]
+                mm = np.zeros((h, w), bool)
+                mm[ty * ch : (ty + 1) * ch, tx * cw : (tx + 1) * cw] = sm
+                new_masks[oid] = mm
+            dp.masks[fi] = new_masks
+        return dp
