@@ -228,3 +228,69 @@ def build_temporal_fusion(cfg: TemporalFusionConfig, dtype=jnp.float32):
         cls(channels=cfg.channels, dtype=dtype, name=f"temporal_fusion_{i}")
         for i in range(cfg.num_levels)
     ]
+
+
+class SpatioTemporalGPAttention(nn.Module):
+    """Gaussian-process temporal attention (reference sam2_base.py:25-211).
+
+    TPU recast of the fork's GP module: RBF-mixture temporal kernel over the
+    frame axis, depthwise temporal diffusion, uncertainty-weighted Bayesian
+    fusion, tanh-temperature residual. BatchNorm3d -> GroupNorm; spectral-norm
+    output projection -> plain Dense (spectral norm is a training-time power
+    iteration the stateless recast omits, noted in docs/PARITY.md).
+    """
+
+    channels: int
+    num_components: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, num_frames: int, deterministic: bool = True):
+        bt, h, w, c = x.shape
+        if c != self.channels or num_frames <= 1:
+            return x
+        b, t = bt // num_frames, num_frames
+        identity = x
+        xt = x.reshape(b, t, h, w, c)
+
+        # --- RBF-mixture temporal kernel attention (reference :98-123) ---
+        kernels = self.param(
+            "temporal_kernels",
+            nn.initializers.normal(0.02),
+            (self.num_components, c),
+        )
+        kw = self.param("kernel_weights", nn.initializers.ones, (self.num_components,))
+        ls = self.param("length_scales", nn.initializers.ones, (self.num_components,))
+        tg = jnp.arange(t, dtype=jnp.float32)
+        time_grid = tg[:, None] - tg[None, :]  # [T, T]
+        weights = jax.nn.softmax(kw)
+        attended = jnp.zeros_like(xt)
+        for i in range(self.num_components):
+            rbf = jnp.exp(-(time_grid**2) / (2.0 * ls[i] ** 2))  # [T, T]
+            rbf = rbf / jnp.clip(rbf.sum(-1, keepdims=True), 1e-6)
+            mixed = jnp.einsum("st,bthwc->bshwc", rbf, xt)
+            attended = attended + weights[i] * mixed * kernels[i]
+
+        # --- depthwise temporal diffusion (reference :62-71, k=(3,1,1)) ---
+        dw = self.param("diffusion_dw", nn.initializers.lecun_normal(), (3, 1, c))
+        pad = jnp.pad(attended, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        diffused = pad[:, :-2] * dw[0, 0] + pad[:, 1:-1] * dw[1, 0] + pad[:, 2:] * dw[2, 0]
+        gn_s = self.param("gn_scale", nn.initializers.ones, (c,))
+        gn_b = self.param("gn_bias", nn.initializers.zeros, (c,))
+        diffused = gelu_exact(_group_norm(diffused, gn_s, gn_b, groups=min(32, c)))
+
+        # --- uncertainty-aware Bayesian fusion (reference :73-91) ---
+        u = nn.Dense(c // 4, dtype=self.dtype, name="unc_fc1")(diffused)
+        u = gelu_exact(u)
+        u = nn.Dense(2, dtype=self.dtype, name="unc_fc2")(u)
+        mean, variance = u[..., 0:1], u[..., 1:2]
+        precision = 1.0 / (jax.nn.softplus(variance) + 1e-6)
+        fused = (mean * precision + diffused) / (precision + 1.0)
+
+        out = nn.Dense(c, use_bias=False, dtype=self.dtype, name="output_proj")(fused)
+        temperature = self.param("temperature", nn.initializers.ones, ())
+        out = out.reshape(bt, h, w, c)
+        return identity + jnp.tanh(temperature) * out.astype(x.dtype)
+
+
+VARIANTS["gp"] = SpatioTemporalGPAttention

@@ -1117,3 +1117,32 @@ class RandomMosaicVideoAPI:
                 new_masks[oid] = mm
             dp.masks[fi] = new_masks
         return dp
+
+
+class MultiplePNGSegmentLoader:
+    """Per-object PNG folders: <root>/<object_id>/<frame>.png
+    (reference vos_segment_loader.py:152-231)."""
+
+    def __init__(self, video_png_root: str, single_object_mode: bool = False):
+        self.root = video_png_root
+        self.single_object_mode = single_object_mode
+        if single_object_mode:
+            self.obj_dirs = [video_png_root]
+        else:
+            self.obj_dirs = sorted(
+                os.path.join(video_png_root, d)
+                for d in os.listdir(video_png_root)
+                if os.path.isdir(os.path.join(video_png_root, d))
+            )
+
+    def load(self, frame_idx: int) -> Dict[int, np.ndarray]:
+        from PIL import Image
+
+        out = {}
+        for oi, d in enumerate(self.obj_dirs):
+            path = os.path.join(d, f"{frame_idx:05d}.png")
+            if not os.path.exists(path):
+                path = os.path.join(d, f"{frame_idx}.png")
+            if os.path.exists(path):
+                out[oi + 1] = np.array(Image.open(path)) > 0
+        return out
