@@ -90,4 +90,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import traceback
+
+    for attempt in range(2):
+        try:
+            main()
+            break
+        except Exception:  # noqa: BLE001 — remote-TPU tunnels flake transiently
+            if attempt == 1:
+                raise
+            traceback.print_exc()
+            time.sleep(10)
