@@ -9,9 +9,12 @@ and reports how well the propagated masks track the moving blob.
 """
 
 import argparse
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def make_synthetic_video(t=32, size=512, seed=0):
