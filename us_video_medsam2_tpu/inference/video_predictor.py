@@ -241,10 +241,16 @@ class SAM2VideoPredictor:
                 lambda x: x.reshape(-1, *x.shape[2:])[:num_frames], feats_all
             )
 
+        hw_mem = self.cfg.feat_size**2
+        md = self.cfg.mem_dim
+
         def body(bank, i):
             t = (num_frames - 1 - i) if reverse else i
 
-            def run(bank):
+            # the (large) bank stays OUT of the cond branches: branches return
+            # only this frame's memory row, merged below — avoids whole-bank
+            # copies that XLA inserts for cond-carried buffers
+            def run(_):
                 if feats_all is None:
                     feats1 = self._encode_frame_impl(params, images[t][None])
                 else:
@@ -252,7 +258,7 @@ class SAM2VideoPredictor:
                 feats = {
                     k: jnp.broadcast_to(v, (o, *v.shape[1:])) for k, v in feats1.items()
                 }
-                out, bank = self.model.apply(
+                out, _ = self.model.apply(
                     params,
                     t,
                     feats,
@@ -260,18 +266,35 @@ class SAM2VideoPredictor:
                     num_frames,
                     multimask_output=True,
                     track_in_reverse=reverse,
+                    write_bank=False,
                     method=self.model.track_step,
                 )
                 low = out["low_res_masks"][:, 0]  # [O, 4fs, 4fs]
-                return bank, low
+                return out["maskmem"].astype(bank.maskmem.dtype), out[
+                    "obj_ptr"
+                ].astype(bank.obj_ptr.dtype), low
 
-            def skip(bank):
-                return bank, jnp.full((o, 4 * fs, 4 * fs), NO_OBJ_SCORE, jnp.float32)
+            def skip(_):
+                return (
+                    jnp.zeros((o, hw_mem, md), bank.maskmem.dtype),
+                    jnp.zeros((o, self.cfg.hidden_dim), bank.obj_ptr.dtype),
+                    jnp.full((o, 4 * fs, 4 * fs), NO_OBJ_SCORE, jnp.float32),
+                )
 
             in_range = (t > start_idx) if not reverse else (t < start_idx)
             is_cond = jnp.any(bank.is_cond[:, t] & bank.valid[:, t])
             do_run = in_range & ~is_cond
-            bank, low = jax.lax.cond(do_run, run, skip, bank)
+            mem_row, ptr_row, low = jax.lax.cond(do_run, run, skip, None)
+            bank = MemoryBank(
+                maskmem=bank.maskmem.at[:, t].set(
+                    jnp.where(do_run, mem_row, bank.maskmem[:, t])
+                ),
+                obj_ptr=bank.obj_ptr.at[:, t].set(
+                    jnp.where(do_run, ptr_row, bank.obj_ptr[:, t])
+                ),
+                valid=bank.valid.at[:, t].set(bank.valid[:, t] | do_run),
+                is_cond=bank.is_cond,
+            )
             return bank, (low, do_run)
 
         bank, (lows, ran) = jax.lax.scan(

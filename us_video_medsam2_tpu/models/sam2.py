@@ -470,9 +470,14 @@ class SAM2Model(nn.Module):
         track_in_reverse: bool = False,
         is_training: bool = False,
         run_mem_encoder: bool = True,
+        write_bank: bool = True,
         deterministic: bool = True,
     ):
         """One tracking step (reference sam2_base.py:1586-1651). All flags static.
+
+        write_bank=False returns the encoded memory in out['maskmem'] instead of
+        writing it — lets scan bodies keep the (large) bank out of lax.cond
+        branches, avoiding whole-bank copies per frame.
 
         feats: {'top': [B,Hc,Wc,C] top-level FPN feature,
                 's0','s1': decoder-projected high-res features (if configured)}
@@ -519,13 +524,15 @@ class SAM2Model(nn.Module):
                 is_training=is_training,
             )
             b, hm, wm, md = maskmem.shape
-            bank = write_memory(
-                bank,
-                frame_idx,
-                maskmem.reshape(b, hm * wm, md),
-                out["obj_ptr"],
-                is_cond_frame or is_init_cond_frame,
-            )
+            out["maskmem"] = maskmem.reshape(b, hm * wm, md)
+            if write_bank:
+                bank = write_memory(
+                    bank,
+                    frame_idx,
+                    out["maskmem"],
+                    out["obj_ptr"],
+                    is_cond_frame or is_init_cond_frame,
+                )
         return out, bank
 
 
