@@ -244,11 +244,74 @@ def sam2_config_from_dict(data: dict) -> SAM2Config:
     return _from_dict(SAM2Config, data)
 
 
-def load_yaml_config(path: str) -> SAM2Config:
+def _resolve_refs(node, root):
+    """OmegaConf-style interpolation: ${times:a,b}, ${divide:a,b}, ${path.to.key}
+    (reference training/utils/train_utils.py:52-63 resolvers)."""
+    import re
+
+    def lookup(path: str):
+        cur = root
+        for part in path.split("."):
+            cur = cur[part]
+        return cur
+
+    def resolve_str(s: str):
+        m = re.fullmatch(r"\$\{([a-z_]+):([^}]+)\}", s)
+        if m:
+            fn, argstr = m.group(1), m.group(2)
+            args = [
+                _resolve_refs(a.strip(), root)
+                if a.strip().startswith("${")
+                else (lookup(a.strip()) if not _is_num(a.strip()) else _num(a.strip()))
+                for a in argstr.split(",")
+            ]
+            if fn == "times":
+                out = 1
+                for a in args:
+                    out *= a
+                return out
+            if fn == "divide":
+                return args[0] / args[1]
+            if fn == "minus":
+                return args[0] - args[1]
+            if fn == "add":
+                return sum(args)
+            raise ValueError(f"unknown resolver {fn}")
+        m = re.fullmatch(r"\$\{([^}:]+)\}", s)
+        if m:
+            return lookup(m.group(1))
+        return s
+
+    def _is_num(s):
+        try:
+            float(s)
+            return True
+        except ValueError:
+            return False
+
+    def _num(s):
+        f = float(s)
+        return int(f) if f.is_integer() else f
+
+    if isinstance(node, dict):
+        return {k: _resolve_refs(v, root) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_resolve_refs(v, root) for v in node]
+    if isinstance(node, str) and "${" in node:
+        return resolve_str(node)
+    return node
+
+
+def load_yaml_dict(path: str) -> dict:
     import yaml
 
     with open(path) as f:
         data = yaml.safe_load(f) or {}
+    return _resolve_refs(data, data)
+
+
+def load_yaml_config(path: str) -> SAM2Config:
+    data = load_yaml_dict(path)
     return sam2_config_from_dict(data.get("model", data))
 
 
