@@ -44,9 +44,19 @@ def load_params(model: SAM2Model, cfg: SAM2Config, ckpt_path: str | None, strict
     elif ckpt_path.endswith(".npz"):
         import numpy as np
 
-        from us_video_medsam2_tpu.core.import_torch import convert_reference_state_dict
+        data = dict(np.load(ckpt_path))
+        if any(k.startswith("params/") for k in data):
+            # native training checkpoint (core/checkpoint.py flat layout)
+            from us_video_medsam2_tpu.core.checkpoint import restore_params
 
-        params = convert_reference_state_dict(dict(np.load(ckpt_path)), cfg)
+            params = restore_params(ckpt_path)
+        else:
+            # a torch state_dict exported to npz (fixtures / converted ckpts)
+            from us_video_medsam2_tpu.core.import_torch import (
+                convert_reference_state_dict,
+            )
+
+            params = convert_reference_state_dict(data, cfg)
     else:
         from us_video_medsam2_tpu.core.checkpoint import restore_params
 
@@ -57,7 +67,7 @@ def load_params(model: SAM2Model, cfg: SAM2Config, ckpt_path: str | None, strict
                 jax.random.PRNGKey(0),
                 jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
             )
-        )()
+        )
         # shape check against the expected tree (reference build_sam.py:197-207
         # raises on missing/unexpected keys)
         import jax.tree_util as jtu
