@@ -21,9 +21,17 @@ import jax
 import numpy as np
 
 
+_EMPTY = "__empty_dict__"
+
+
 def _flatten(tree, prefix=()):
     out = {}
     if isinstance(tree, dict):
+        if not tree and prefix:
+            # preserve empty subtrees (e.g. optax EmptyState) so the restored
+            # structure matches exactly
+            out["/".join(prefix + (_EMPTY,))] = np.zeros((0,), np.int8)
+            return out
         for k, v in tree.items():
             out.update(_flatten(v, prefix + (k,)))
     else:
@@ -36,6 +44,10 @@ def _unflatten(flat: Dict[str, Any]):
     for key, val in flat.items():
         node = tree
         parts = key.split("/")
+        if parts[-1] == _EMPTY:
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            continue
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = val
@@ -61,8 +73,12 @@ def filter_params_matching_unix_pattern(patterns: List[str], state_dict: Dict):
 
 def save_checkpoint(path: str, state: Dict, skip_patterns: Optional[List[str]] = None):
     """Save a pytree checkpoint as an .npz + json metadata (atomic via tmp+rename,
-    matching trainer.py:363-380)."""
+    matching trainer.py:363-380). Arbitrary pytrees (optax namedtuple states,
+    flax structs) are converted to nested dicts via flax.serialization first."""
+    from flax import serialization
+
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    state = serialization.to_state_dict(state)
     flat = _flatten(jax.tree.map(np.asarray, state))
     if skip_patterns:
         flat = {

@@ -116,11 +116,23 @@ class Trainer:
         resume = ckpt_lib.get_resume_checkpoint(self.cfg.save_dir)
         if resume is None:
             return
+        from flax import serialization
+
         loaded = ckpt_lib.restore_checkpoint(resume)
+        # restore into the live structure (optax namedtuple states etc.)
+        template = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        restored = serialization.from_state_dict(
+            template,
+            {k: loaded[k] for k in ("params", "opt_state", "step")},
+        )
         self.state = TrainState(
-            params=jax.tree.map(jnp.asarray, loaded["params"]),
-            opt_state=jax.tree.map(jnp.asarray, loaded["opt_state"]),
-            step=jnp.asarray(loaded["step"]),
+            params=jax.tree.map(jnp.asarray, restored["params"]),
+            opt_state=jax.tree.map(jnp.asarray, restored["opt_state"]),
+            step=jnp.asarray(restored["step"]),
         )
         self.state = replicate_pytree(self.state, self.mesh)
         self.epoch = int(loaded.get("epoch", 0))
