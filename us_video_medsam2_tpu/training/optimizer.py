@@ -17,7 +17,7 @@ from __future__ import annotations
 import fnmatch
 import re
 from dataclasses import dataclass
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp

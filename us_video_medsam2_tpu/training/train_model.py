@@ -23,7 +23,7 @@ the model family is identical; the token count is just constant.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List
+
 
 import jax
 import jax.numpy as jnp
@@ -88,11 +88,11 @@ def _sample_plan(rng, sim: TrainSimConfig, t: int, is_training: bool):
     # processing order: init frames (ascending), then the rest ascending
     order = jnp.argsort(jnp.where(is_init, 0, 1) * t + jnp.arange(t))
 
-    # correction frames: init frames + extra random non-init (point input only)
+    # correction frames: init frames + extra random non-init (point input only);
+    # uniform in [n_init, n_corr_max] (reference model/sam2.py:196-203)
     if sim.rand_frames_to_correct and n_corr_max > 1 and is_training:
-        n_corr = jnp.maximum(
-            jax.random.randint(k_ncorr, (), 1, n_corr_max + 1), n_init
-        )
+        n_corr = jax.random.randint(k_ncorr, (), n_init, n_corr_max + 1)
+        n_corr = jnp.maximum(n_corr, n_init)
     else:
         n_corr = jnp.maximum(jnp.asarray(n_corr_max, jnp.int32), n_init)
     r2 = jnp.where(is_init, jnp.inf, jax.random.uniform(k_corr, (t,)))

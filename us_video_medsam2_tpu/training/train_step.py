@@ -10,7 +10,7 @@ equivalent of the reference's DDP wrap + loss-side all_reduce(num_objects)
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
+
 from typing import Dict, NamedTuple
 
 import jax
