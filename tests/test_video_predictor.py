@@ -61,3 +61,35 @@ def test_predictor_video_parity(predictor):
             iou = _iou(mine[o, 0], ref[o, 0])
             assert iou > 0.99, (k, o, iou)
         np.testing.assert_allclose(mine, ref, rtol=0.15, atol=0.15, err_msg=k)
+
+
+def test_chunked_streaming_matches_full_scan(predictor):
+    """chunk_size streaming must produce identical masks to the one-scan path."""
+    fx = np.load(require_fixture("predictor_video.npz"))
+    images = nchw2nhwc(fx["images"])
+
+    def run(chunk):
+        state = predictor.init_state(images, 200, 180, max_objects=2)
+        predictor.add_new_mask(state, 1, 1, jnp.asarray(fx["mask_prompt"]))
+        predictor.add_new_points_or_box(
+            state, 1, 2, points=np.array([[30.0, 150.0]]), labels=np.array([1])
+        )
+        fwd = {
+            t: m for t, _, m in predictor.propagate_in_video(state, chunk_size=chunk)
+        }
+        rev = {
+            t: m
+            for t, _, m in predictor.propagate_in_video(
+                state, reverse=True, chunk_size=chunk
+            )
+        }
+        return fwd, rev
+
+    fwd_full, rev_full = run(None)
+    fwd_chunk, rev_chunk = run(2)
+    assert set(fwd_full) == set(fwd_chunk)
+    assert set(rev_full) == set(rev_chunk)
+    for t in fwd_full:
+        np.testing.assert_array_equal(fwd_chunk[t], fwd_full[t])
+    for t in rev_full:
+        np.testing.assert_array_equal(rev_chunk[t], rev_full[t])

@@ -102,6 +102,10 @@ class SAM2VideoPredictor:
         self._propagate = jax.jit(
             self._propagate_impl, static_argnames=("num_frames", "reverse")
         )
+        self._propagate_chunk = jax.jit(
+            self._propagate_chunk_impl,
+            static_argnames=("chunk_len", "num_frames", "reverse"),
+        )
         self._to_video_res = jax.jit(self._to_video_res_impl, static_argnames=("hw",))
 
     # ------------------------------------------------------------- state mgmt
@@ -217,6 +221,70 @@ class SAM2VideoPredictor:
         # consolidation fills placeholders) but masked by NO_OBJ content
         del obj_valid
         return bank
+
+    def _propagate_chunk_impl(
+        self, params, images, bank, start_idx, chunk_start, *, chunk_len, num_frames, reverse
+    ):
+        """Scan a window of `chunk_len` processing positions beginning at the
+        (traced) position chunk_start — streaming propagation: one compiled
+        program reused per chunk, results yielded chunk by chunk."""
+        cfg = self.cfg
+        o = bank.maskmem.shape[0]
+        fs = cfg.feat_size
+        hw_mem = cfg.feat_size**2
+        md = cfg.mem_dim
+
+        def body(bank, i):
+            pos = chunk_start + i
+            t = jnp.where(reverse, num_frames - 1 - pos, pos)
+            t = jnp.clip(t, 0, num_frames - 1)
+
+            def run(_):
+                feats1 = self._encode_frame_impl(params, images[t][None])
+                feats = {
+                    k: jnp.broadcast_to(v, (o, *v.shape[1:])) for k, v in feats1.items()
+                }
+                out, _ = self.model.apply(
+                    params, t, feats, bank, num_frames,
+                    multimask_output=True, track_in_reverse=reverse,
+                    write_bank=False, method=self.model.track_step,
+                )
+                return (
+                    out["maskmem"].astype(bank.maskmem.dtype),
+                    out["obj_ptr"].astype(bank.obj_ptr.dtype),
+                    out["low_res_masks"][:, 0],
+                )
+
+            def skip(_):
+                return (
+                    jnp.zeros((o, hw_mem, md), bank.maskmem.dtype),
+                    jnp.zeros((o, self.cfg.hidden_dim), bank.obj_ptr.dtype),
+                    jnp.full((o, 4 * fs, 4 * fs), NO_OBJ_SCORE, jnp.float32),
+                )
+
+            in_window = pos < num_frames
+            in_range = jnp.where(reverse, t < start_idx, t > start_idx)
+            is_cond = jnp.any(bank.is_cond[:, t] & bank.valid[:, t])
+            do_run = in_window & in_range & ~is_cond
+            mem_row, ptr_row, low = jax.lax.cond(do_run, run, skip, None)
+            bank = MemoryBank(
+                maskmem=bank.maskmem.at[:, t].set(
+                    jnp.where(do_run, mem_row, bank.maskmem[:, t])
+                ),
+                obj_ptr=bank.obj_ptr.at[:, t].set(
+                    jnp.where(do_run, ptr_row, bank.obj_ptr[:, t])
+                ),
+                valid=bank.valid.at[:, t].set(bank.valid[:, t] | do_run),
+                is_cond=bank.is_cond,
+            )
+            return bank, (low, do_run, t)
+
+        bank, outs = jax.lax.scan(body, bank, jnp.arange(chunk_len, dtype=jnp.int32))
+        if self.fill_hole_area > 0:
+            lows, ran, ts = outs
+            lows = fill_holes_in_mask_scores(lows, self.fill_hole_area)
+            outs = (lows, ran, ts)
+        return bank, outs
 
     def _propagate_impl(
         self, params, images, bank, start_idx, *, num_frames, reverse
@@ -469,8 +537,14 @@ class SAM2VideoPredictor:
         start_frame_idx: Optional[int] = None,
         max_frame_num_to_track: Optional[int] = None,
         reverse: bool = False,
+        chunk_size: Optional[int] = None,
     ) -> Iterator[Tuple[int, List[int], np.ndarray]]:
-        """Yields (frame_idx, obj_ids, video_res_mask_logits [O, 1, H, W])."""
+        """Yields (frame_idx, obj_ids, video_res_mask_logits [O, 1, H, W]).
+
+        chunk_size=None runs the whole video as one compiled scan (maximum
+        throughput — the benchmark path); chunk_size=K streams results every K
+        frames (interactive latency), reusing one compiled chunk program.
+        """
         self.propagate_in_video_preflight(state)
         cond_frames = sorted(state.cond_low_res)
         if not cond_frames:
@@ -485,27 +559,60 @@ class SAM2VideoPredictor:
         else:
             end = min(t0 + (max_frame_num_to_track or nf), nf - 1)
             order = range(t0, end + 1)
-
-        bank, lows, ran = self._propagate(
-            self.params,
-            state.images,
-            state.bank,
-            jnp.asarray(t0),
-            num_frames=nf,
-            reverse=reverse,
-        )
-        state.bank = bank
-        lows_np = np.asarray(lows)  # scan order
-        ran_np = np.asarray(ran)
         hw = (state.video_height, state.video_width)
-        for t in order:
-            i = (nf - 1 - t) if reverse else t  # scan index of frame t
-            if ran_np[i]:
-                low = lows_np[i]
-                state.frames_tracked[t] = {"reverse": reverse}
-            elif t in state.cond_low_res:
-                low = state.cond_low_res[t]
-            else:
-                continue
+
+        def emit(t, low):
             video = self._to_video_res(jnp.asarray(low), hw=hw)
-            yield t, list(state.obj_ids), np.asarray(video)[:, None]
+            return t, list(state.obj_ids), np.asarray(video)[:, None]
+
+        if chunk_size is None:
+            bank, lows, ran = self._propagate(
+                self.params,
+                state.images,
+                state.bank,
+                jnp.asarray(t0),
+                num_frames=nf,
+                reverse=reverse,
+            )
+            state.bank = bank
+            lows_np = np.asarray(lows)  # scan order
+            ran_np = np.asarray(ran)
+            for t in order:
+                i = (nf - 1 - t) if reverse else t  # scan index of frame t
+                if ran_np[i]:
+                    state.frames_tracked[t] = {"reverse": reverse}
+                    yield emit(t, lows_np[i])
+                elif t in state.cond_low_res:
+                    yield emit(t, state.cond_low_res[t])
+            return
+
+        # streaming: process positions in chunks, yield after each chunk
+        pending = list(order)
+        pos = (nf - 1 - t0) if reverse else t0  # processing position of t0
+        while pending:
+            state.bank, (lows, ran, ts) = self._propagate_chunk(
+                self.params,
+                state.images,
+                state.bank,
+                jnp.asarray(t0),
+                jnp.asarray(pos),
+                chunk_len=chunk_size,
+                num_frames=nf,
+                reverse=reverse,
+            )
+            lows_np, ran_np, ts_np = np.asarray(lows), np.asarray(ran), np.asarray(ts)
+            covered = {int(ts_np[i]): i for i in range(chunk_size)}
+            while pending:
+                t = pending[0]
+                if t in state.cond_low_res:
+                    pending.pop(0)
+                    yield emit(t, state.cond_low_res[t])
+                elif t in covered and ran_np[covered[t]]:
+                    pending.pop(0)
+                    state.frames_tracked[t] = {"reverse": reverse}
+                    yield emit(t, lows_np[covered[t]])
+                else:
+                    break  # next chunk
+            pos += chunk_size
+            if pos >= nf:
+                break
