@@ -56,6 +56,7 @@ def main():
             state.images,
             state.bank,
             jnp.asarray(0),
+            jnp.asarray(state.num_frames - 1),
             num_frames=state.num_frames,
             reverse=False,
         )
@@ -77,6 +78,34 @@ def main():
             break
     fps = timed_runs * (num_frames - 1) / dt
 
+    # p50 per-frame latency through the STREAMING path (chunked scan), the
+    # latency a consumer of propagate_in_video(chunk_size=K) observes per frame
+    # (BASELINE.md tracks p50 per-frame latency alongside FPS). Includes the
+    # per-dispatch tunnel RTT amortized over the chunk.
+    chunk = 8 if on_tpu else 2
+    lat_state = predictor.init_state(video, cfg.image_size, cfg.image_size, 1)
+    predictor.add_new_points_or_box(
+        lat_state, 0, 1, points=np.array([[256.0, 256.0]]), labels=np.array([1])
+    )
+    for _ in list(predictor.propagate_in_video(lat_state, chunk_size=chunk)):
+        pass  # compile warmup
+    per_frame_ms = []
+    lat_runs = 3 if on_tpu else 1
+    for _ in range(lat_runs):
+        s2 = predictor.init_state(video, cfg.image_size, cfg.image_size, 1)
+        predictor.add_new_points_or_box(
+            s2, 0, 1, points=np.array([[256.0, 256.0]]), labels=np.array([1])
+        )
+        tprev = time.perf_counter()
+        n_since = 0
+        for _ in predictor.propagate_in_video(s2, chunk_size=chunk):
+            n_since += 1
+            if n_since == chunk:  # a chunk boundary: amortized per-frame latency
+                now = time.perf_counter()
+                per_frame_ms.append(1e3 * (now - tprev) / n_since)
+                tprev, n_since = now, 0
+    p50_ms = float(np.median(per_frame_ms)) if per_frame_ms else float("nan")
+
     print(
         json.dumps(
             {
@@ -84,6 +113,7 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
+                "p50_frame_latency_ms": round(p50_ms, 2),
             }
         )
     )

@@ -105,3 +105,80 @@ def test_transforms_keep_consistency(npz_dir):
             assert m.shape == (48, 48)
     out = collate_video_batch([dp], max_num_objects=3)
     assert out["masks"].shape == (3, 1, 3, 48, 48)
+
+
+@pytest.fixture(scope="module")
+def timevarying_npz_dir(tmp_path_factory):
+    """Videos whose GT mask location encodes the frame index, so any
+    frame/mask temporal misalignment is detectable."""
+    root = tmp_path_factory.mktemp("npz_tv")
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        t, h, w = 10, 40, 48
+        imgs = (rng.random((t, h, w)) * 255).astype(np.uint8)
+        gts = np.zeros((t, h, w), np.uint8)
+        for f in range(t):
+            gts[f, f : f + 3, 5:15] = 1  # mask row == frame index
+        np.savez_compressed(root / f"v{i}.npz", imgs=imgs, gts=gts)
+    return str(root)
+
+
+def _mask_row(mask):
+    return int(np.nonzero(mask.any(axis=1))[0][0])
+
+
+def test_signal_curriculum_stride_keeps_frame_mask_alignment(timevarying_npz_dir):
+    ds = SignalCurriculumNPZRawDataset(timevarying_npz_dir, max_epochs=10)
+    ds.set_epoch(4)  # expand stage: stride 2 (stochastically 1 or 2)
+    ds.use_stochastic = False  # force stride 2 deterministically
+    video, loader = ds.get_video(0)
+    assert [f.frame_idx for f in video.frames] == [0, 2, 4, 6, 8]
+    for f in video.frames:
+        segs = loader.load(f.frame_idx)  # must not IndexError past T/2
+        assert _mask_row(segs[1]) == f.frame_idx  # image & GT from SAME frame
+
+
+def test_npz_sample_rate_keeps_frame_mask_alignment(timevarying_npz_dir):
+    ds = NPZRawDataset(timevarying_npz_dir, sample_rate=2)
+    video, loader = ds.get_video(0)
+    assert [f.frame_idx for f in video.frames] == [0, 2, 4, 6, 8]
+    for f in video.frames:
+        assert _mask_row(loader.load(f.frame_idx)[1]) == f.frame_idx
+
+
+def test_host_sharding_equal_batch_counts(npz_dir):
+    # 6 videos over 4 hosts: naive striding gives hosts 2,2,1,1 batches; the
+    # loader must pad (wrap) so every host yields the SAME count (a straggler
+    # would deadlock the grad all-reduce at epoch end)
+    def mk(rank, world):
+        ds = VOSDataset(
+            NPZRawDataset(npz_dir),
+            RandomUniformSampler(num_frames=2, max_num_objects=1),
+            transforms=default_train_transforms(32),
+            max_num_objects=1,
+        )
+        return TrainMixedVideoLoader(
+            [ds], [1], 1, seed=0, process_index=rank, process_count=world
+        )
+
+    counts = [len(list(mk(r, 4).get_loader(0))) for r in range(4)]
+    assert len(set(counts)) == 1, counts
+    assert counts[0] == 2  # ceil(6/4) = 2 with wrap padding
+
+
+def test_random_resize_api_samples_per_call():
+    from us_video_medsam2_tpu.training.data import RandomResizeAPI, VideoDatapoint
+
+    tr = RandomResizeAPI([16, 32, 64])
+    import random as _random
+
+    _random.seed(0)
+    seen = set()
+    for _ in range(30):
+        dp = VideoDatapoint(
+            images=[np.zeros((40, 40, 3), np.float32)],
+            masks=[{1: np.ones((40, 40), bool)}],
+        )
+        dp = tr(dp)
+        seen.add(dp.images[0].shape[0])
+    assert len(seen) > 1, "size must be drawn per datapoint, not once at init"

@@ -125,3 +125,38 @@ def test_obj_ptr_window_forward():
     # cond frame 0 + t_diff 1..15 strictly prior non-cond frames (reference
     # sam2_base.py:1360-1394 with max_obj_ptrs_in_encoder=16)
     assert ptr_frames == [0] + list(range(26 - 15, 26))
+
+
+def test_unselected_cond_frames_fall_back_to_noncond_slots():
+    """With more valid cond frames than max_cond_frame_slots, the cond frames
+    that miss the top-K must remain attendable as non-cond memories/pointers —
+    the reference's unselected_cond_outputs fallback (sam2_base.py:1296-1342)."""
+    cfg = SAM2Config()
+    assert cfg.max_cond_frame_slots == 4
+    num_frames = 20
+    # frames 4..9 are ALL conditioning frames; nothing else tracked yet
+    bank = _bank_with_history(cfg, num_frames, set(range(4, 10)), tracked_until=9)
+    sel = select_memories(bank, jnp.asarray(10), cfg, num_frames, is_training=False)
+
+    k = cfg.max_cond_frame_slots
+    cond_selected = {
+        int(sel.mem_idx[0, i]) for i in range(k) if bool(sel.mem_valid[0, i])
+    }
+    assert cond_selected == {6, 7, 8, 9}  # the 4 temporally closest cond frames
+
+    # non-cond schedule for frame 10 at stride 1 covers frames 4..9; of those,
+    # 4 and 5 are cond-but-unselected -> must be valid non-cond slots, while
+    # 6..9 are already attended as cond slots -> must stay excluded
+    noncond = {
+        int(sel.mem_idx[0, i]): bool(sel.mem_valid[0, i])
+        for i in range(k, k + cfg.num_maskmem - 1)
+    }
+    assert noncond == {4: True, 5: True, 6: False, 7: False, 8: False, 9: False}
+
+    # pointers: unselected cond frames also qualify through the non-cond window
+    ptr_frames = {
+        int(sel.ptr_idx[0, i])
+        for i in range(sel.ptr_idx.shape[1])
+        if bool(sel.ptr_valid[0, i])
+    }
+    assert {4, 5} <= ptr_frames

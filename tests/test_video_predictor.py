@@ -93,3 +93,25 @@ def test_chunked_streaming_matches_full_scan(predictor):
         np.testing.assert_array_equal(fwd_chunk[t], fwd_full[t])
     for t in rev_full:
         np.testing.assert_array_equal(rev_chunk[t], rev_full[t])
+
+
+def test_max_frame_num_to_track_bounds_tracking_and_bank(predictor):
+    """Frames past the requested window must be neither yielded NOR tracked
+    into the bank (reference only iterates the window,
+    sam2_video_predictor.py:663-746). Both scan and chunked paths."""
+    fx = np.load(require_fixture("predictor_video.npz"))
+    images = nchw2nhwc(fx["images"])  # 5 frames
+
+    for chunk in (None, 2):
+        state = predictor.init_state(images, 200, 180, max_objects=2)
+        predictor.add_new_mask(state, 1, 1, jnp.asarray(fx["mask_prompt"]))
+        yielded = [
+            t
+            for t, _, _ in predictor.propagate_in_video(
+                state, max_frame_num_to_track=2, chunk_size=chunk
+            )
+        ]
+        assert yielded == [1, 2, 3], (chunk, yielded)
+        valid = np.asarray(state.bank.valid[0])
+        assert not valid[4], f"frame 4 is outside the window (chunk={chunk})"
+        assert valid[1] and valid[2] and valid[3]

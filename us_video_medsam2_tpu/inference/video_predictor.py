@@ -223,7 +223,7 @@ class SAM2VideoPredictor:
         return bank
 
     def _propagate_chunk_impl(
-        self, params, images, bank, start_idx, chunk_start, *, chunk_len, num_frames, reverse
+        self, params, images, bank, start_idx, end_idx, chunk_start, *, chunk_len, num_frames, reverse
     ):
         """Scan a window of `chunk_len` processing positions beginning at the
         (traced) position chunk_start — streaming propagation: one compiled
@@ -263,7 +263,14 @@ class SAM2VideoPredictor:
                 )
 
             in_window = pos < num_frames
-            in_range = jnp.where(reverse, t < start_idx, t > start_idx)
+            # (start, end] window: frames past the requested tracking window
+            # must not run NOR write bank state (reference tracks only the
+            # max_frame_num_to_track window, sam2_video_predictor.py:663-746)
+            in_range = jnp.where(
+                reverse,
+                (t < start_idx) & (t >= end_idx),
+                (t > start_idx) & (t <= end_idx),
+            )
             is_cond = jnp.any(bank.is_cond[:, t] & bank.valid[:, t])
             do_run = in_window & in_range & ~is_cond
             mem_row, ptr_row, low = jax.lax.cond(do_run, run, skip, None)
@@ -287,7 +294,7 @@ class SAM2VideoPredictor:
         return bank, outs
 
     def _propagate_impl(
-        self, params, images, bank, start_idx, *, num_frames, reverse
+        self, params, images, bank, start_idx, end_idx, *, num_frames, reverse
     ):
         cfg = self.cfg
         o = bank.maskmem.shape[0]
@@ -349,7 +356,11 @@ class SAM2VideoPredictor:
                     jnp.full((o, 4 * fs, 4 * fs), NO_OBJ_SCORE, jnp.float32),
                 )
 
-            in_range = (t > start_idx) if not reverse else (t < start_idx)
+            in_range = (
+                ((t > start_idx) & (t <= end_idx))
+                if not reverse
+                else ((t < start_idx) & (t >= end_idx))
+            )  # frames outside the tracking window neither run nor touch the bank
             is_cond = jnp.any(bank.is_cond[:, t] & bank.valid[:, t])
             do_run = in_range & ~is_cond
             mem_row, ptr_row, low = jax.lax.cond(do_run, run, skip, None)
@@ -571,6 +582,7 @@ class SAM2VideoPredictor:
                 state.images,
                 state.bank,
                 jnp.asarray(t0),
+                jnp.asarray(end),
                 num_frames=nf,
                 reverse=reverse,
             )
@@ -595,6 +607,7 @@ class SAM2VideoPredictor:
                 state.images,
                 state.bank,
                 jnp.asarray(t0),
+                jnp.asarray(end),
                 jnp.asarray(pos),
                 chunk_len=chunk_size,
                 num_frames=nf,

@@ -115,6 +115,17 @@ def select_memories(
     top_scores, cond_idx = jax.lax.top_k(score, K)  # [B, K]
     cond_valid = jnp.isfinite(top_scores)
 
+    # per-frame mask of cond frames that made the top-K. Cond frames that did
+    # NOT make it remain eligible as non-cond memories / pointers below — the
+    # reference's unselected_cond_outputs fallback (sam2_base.py:1296-1342:
+    # non-cond lookups fall back to unselected conditioning frames).
+    selected_as_cond = (
+        jnp.zeros((B, S), jnp.int32)
+        .at[jnp.arange(B)[:, None], cond_idx]
+        .max(cond_valid.astype(jnp.int32))
+        .astype(bool)
+    )
+
     # --- non-conditioning slots: stride-r schedule, t_pos = 1..num_maskmem-1 ---
     r = 1 if is_training else max(1, cfg.memory_temporal_stride_for_eval)
     t_pos = jnp.arange(1, cfg.num_maskmem, dtype=jnp.int32)  # [R]
@@ -134,7 +145,7 @@ def select_memories(
     noncond_valid = (
         in_range
         & jnp.take_along_axis(bank.valid, safe, axis=1)
-        & ~jnp.take_along_axis(bank.is_cond, safe, axis=1)
+        & ~jnp.take_along_axis(selected_as_cond, safe, axis=1)
     )
 
     mem_idx = jnp.concatenate([jnp.clip(cond_idx, 0, S - 1), safe], axis=1)
@@ -170,7 +181,7 @@ def select_memories(
     nc_valid = (
         nc_in
         & jnp.take_along_axis(bank.valid, nc_safe, axis=1)
-        & ~jnp.take_along_axis(bank.is_cond, nc_safe, axis=1)
+        & ~jnp.take_along_axis(selected_as_cond, nc_safe, axis=1)
     )
     nc_pos = jnp.broadcast_to(
         t_diff.astype(jnp.float32)[None, :], nc_t.shape

@@ -150,7 +150,11 @@ class NPZRawDataset(VOSRawDataset):
         if self.truncate_video > 0:
             frames = frames[: self.truncate_video]
             masks = masks[: self.truncate_video]
-        return frames[:: self.sample_rate], masks[:: self.sample_rate]
+        # frames are subsampled but masks stay at full temporal resolution:
+        # VOSFrame.frame_idx keeps ORIGINAL indices and NPZSegmentLoader.load()
+        # indexes by them, so striding the masks too would pair frame k with
+        # mask k*sample_rate (and overrun past T/sample_rate).
+        return frames[:: self.sample_rate], masks
 
     def get_video(self, idx: int):
         name = self.video_names[idx]
@@ -437,10 +441,12 @@ class RandomAffine:
 
 class RandomResizeAPI:
     def __init__(self, sizes, square=True, consistent_transform=True):
-        self.size = sizes if isinstance(sizes, int) else random.choice(list(sizes))
+        # a size is drawn PER datapoint (reference transforms.py RandomResizeAPI
+        # picks per __call__); resolving once here would freeze multi-scale aug
+        self.sizes = [sizes] if isinstance(sizes, int) else list(sizes)
 
     def __call__(self, dp: VideoDatapoint) -> VideoDatapoint:
-        s = self.size
+        s = random.choice(self.sizes)
         dp.images = [
             cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR) for img in dp.images
         ]
@@ -720,7 +726,13 @@ class TrainMixedVideoLoader:
         if self.phases_per_epoch > 1 and not self.use_curriculum:
             chunks = np.array_split(idxs, self.phases_per_epoch)
             idxs = list(chunks[epoch % self.phases_per_epoch])
-        # per-host shard (== DistributedSampler, sam2_datasets.py:121-124)
+        # per-host shard (== DistributedSampler, sam2_datasets.py:121-124).
+        # Pad by wrapping to a multiple of process_count first (like torch's
+        # DistributedSampler): every host must yield the SAME number of
+        # batches or a straggler's grad all-reduce deadlocks at epoch end.
+        if self.process_count > 1 and len(idxs) % self.process_count:
+            pad = self.process_count - len(idxs) % self.process_count
+            idxs = list(idxs) + list(idxs[:pad])
         idxs = idxs[self.process_index :: self.process_count]
         return [idxs[i : i + bs] for i in range(0, len(idxs) - bs + 1, bs)]
 
@@ -923,8 +935,10 @@ class SignalCurriculumNPZRawDataset(NPZRawDataset, SignalCurriculumMixin):
         if self.use_stochastic and stride > 1:
             stride = random.choice([1, stride])
         if stride > 1:
+            # Keep the loader at full temporal resolution: the kept frames
+            # retain their original frame_idx (0, stride, 2*stride, ...) and
+            # NPZSegmentLoader.load() indexes masks by that original index.
             video = VOSVideo(video.video_name, video.video_id, video.frames[::stride])
-            loader = NPZSegmentLoader(loader.masks[::stride])
         return video, loader
 
 
