@@ -161,6 +161,47 @@ def build_mini_sam2(cls=None, **extra_kwargs):
     return model
 
 
+def gen_temporal_fusion_fixtures():
+    """Golden fixtures for the fork's temporal-fusion modules (eval mode):
+    safeTemporalContextExchange, GFTE, AdaptiveTemporalSemanticFusion
+    (reference sam2_base.py:233-361, 372-527, 697-758). BatchNorm running
+    stats are randomized so eval-mode BN is non-trivial."""
+    from sam2.modeling.sam2_base import (
+        GFTE,
+        AdaptiveTemporalSemanticFusion,
+        safeTemporalContextExchange,
+    )
+
+    c, b, t, h, w = 32, 2, 4, 8, 8
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal((b * t, c, h, w)).astype(np.float32)
+    data = {"x": x, "t": np.array(t)}
+
+    for key, module in [
+        ("tce", safeTemporalContextExchange(channels=c)),
+        ("gfte", GFTE(channels=c)),
+        ("atsf", AdaptiveTemporalSemanticFusion(channels=c)),
+    ]:
+        gen = torch.Generator().manual_seed(hash(key) % (2**31))
+        with torch.no_grad():
+            for _, p in sorted(module.named_parameters()):
+                p.copy_(torch.randn(p.shape, generator=gen) * 0.2)
+            for name, buf in sorted(module.named_buffers()):
+                if name.endswith("running_mean"):
+                    buf.copy_(torch.randn(buf.shape, generator=gen) * 0.1)
+                elif name.endswith("running_var"):
+                    buf.copy_(torch.rand(buf.shape, generator=gen) + 0.5)
+        module.eval()
+        with torch.no_grad():
+            out = module(torch.from_numpy(x), t)
+        data[f"{key}_out"] = out.numpy()
+        for k, v in module.state_dict().items():
+            data[f"{key}_sd.{k}"] = v.detach().float().numpy()
+
+    np.savez_compressed(OUT / "temporal_fusion.npz", **data)
+    print("wrote", OUT / "temporal_fusion.npz")
+
+
 def main():
     install_reference_packages()
     model = build_mini_sam2()
@@ -304,4 +345,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "fusion":
+        install_reference_packages()
+        gen_temporal_fusion_fixtures()
+    else:
+        main()
+        gen_temporal_fusion_fixtures()

@@ -39,7 +39,7 @@ def main(argv=None):
                     choices=["none", "consistency", "graph", "spectral"])
     ap.add_argument("--temporal_loss_weight", type=float, default=0.5)
     ap.add_argument("--temporal_fusion", default="none",
-                    choices=["none", "tce", "gfte", "atsf"])
+                    choices=["none", "tce", "gfte", "atsf", "gp"])
     ap.add_argument("--curriculum", default="quantum",
                     choices=["none", "quantum", "aes", "neurospectral"])
     ap.add_argument("--seed", type=int, default=0)

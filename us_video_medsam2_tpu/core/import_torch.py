@@ -55,6 +55,92 @@ def _map_norm(out, prefix_t, prefix_j, sd):
     _put(out, f"{prefix_j}/bias", sd[f"{prefix_t}.bias"])
 
 
+def _conv3d_1x1(w):  # torch Conv3d 1x1x1 weight [out,in,1,1,1] -> Dense kernel [in,out]
+    return np.ascontiguousarray(w[:, :, 0, 0, 0].T)
+
+
+def _dw3d(w):  # depthwise Conv3d (k,1,1) weight [C,1,k,1,1] -> [k, C]
+    return np.ascontiguousarray(np.transpose(w[:, 0, :, 0, 0], (1, 0)))
+
+
+def convert_fusion_module(sd: Dict[str, np.ndarray], variant: str, prefix: str = ""):
+    """Map ONE reference temporal-fusion module's state_dict onto the
+    corresponding flax module's (params, batch_stats) trees.
+
+    Covers safeTemporalContextExchange (sam2_base.py:697-758), GFTE (:372-527)
+    and AdaptiveTemporalSemanticFusion (:233-361). BatchNorm3d running stats go
+    to the 'batch_stats' collection (eval-mode parity).
+    """
+    params: Dict[tuple, np.ndarray] = {}
+    stats: Dict[tuple, np.ndarray] = {}
+
+    def g(key):
+        return np.asarray(sd[prefix + key])
+
+    def bn(tname, jname):
+        params[(jname, "scale")] = g(f"{tname}.weight")
+        params[(jname, "bias")] = g(f"{tname}.bias")
+        stats[(jname, "mean")] = g(f"{tname}.running_mean")
+        stats[(jname, "var")] = g(f"{tname}.running_var")
+
+    def dense(tname, jname, transpose=_lin, bias=True):
+        w = g(f"{tname}.weight")
+        params[(jname, "kernel")] = transpose(w)
+        if bias:
+            params[(jname, "bias")] = g(f"{tname}.bias")
+
+    if variant == "tce":
+        params[("depthwise",)] = _dw3d(g("depthwise_conv.weight"))
+        dense("pointwise", "pointwise", _conv3d_1x1, bias=False)
+        bn("bn1", "bn1")
+        bn("bn2", "bn2")
+        dense("attention.1", "attn_fc1", _conv3d_1x1)
+        dense("attention.3", "attn_fc2", _conv3d_1x1)
+        params[("alpha",)] = g("alpha")
+    elif variant == "gfte":
+        params[("tattn_in_proj", "kernel")] = _lin(g("temporal_attention.in_proj_weight"))
+        params[("tattn_in_proj", "bias")] = g("temporal_attention.in_proj_bias")
+        dense("temporal_attention.out_proj", "tattn_out_proj")
+        params[("spectral_filters",)] = g("spectral_filters").reshape(-1)
+        for i, k in enumerate((3, 5, 7)):
+            params[(f"msdw_{k}",)] = _dw3d(g(f"temporal_convs.{i}.weight"))
+            params[(f"msdw_{k}_bias",)] = g(f"temporal_convs.{i}.bias")
+        dense("refinement.0", "refine_fc1", _conv3d_1x1)
+        dense("refinement.2", "refine_fc2", _conv3d_1x1)
+        for nm in ("alpha", "beta", "gamma"):
+            params[(nm,)] = g(nm)
+        dense("spectral_gate.1", "gate_fc1", _conv3d_1x1)
+        dense("spectral_gate.3", "gate_fc2", _conv3d_1x1)
+        bn("norm1", "norm1")
+        bn("norm2", "norm2")
+    elif variant == "atsf":
+        params[("local_dw",)] = _dw3d(g("local_temp.0.weight"))
+        bn("local_temp.1", "local_bn")
+        dense("global_temp.1", "global_proj", _conv3d_1x1, bias=False)
+        bn("global_temp.2", "global_bn")
+        dense("cross_temp_attn.0", "ctattn_fc1", _conv3d_1x1)
+        dense("cross_temp_attn.2", "ctattn_fc2", _conv3d_1x1)
+        params[("scale_selector",)] = g("scale_selector").reshape(-1)
+        dense("fusion_gate.1", "fgate_fc1", _conv3d_1x1)
+        dense("fusion_gate.3", "fgate_fc2", _conv3d_1x1)
+        dense("output_proj.0", "out_proj", _conv3d_1x1, bias=False)
+        bn("output_proj.1", "out_bn")
+        params[("residual_weight",)] = g("residual_weight")
+    else:
+        raise ValueError(f"no torch mapping for fusion variant {variant!r}")
+
+    def unflatten(flat):
+        tree: Dict = {}
+        for path, val in flat.items():
+            node = tree
+            for p in path[:-1]:
+                node = node.setdefault(p, {})
+            node[path[-1]] = np.asarray(val)
+        return tree
+
+    return unflatten(params), unflatten(stats)
+
+
 def convert_reference_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
     """Convert a reference SAM2Base state_dict (numpy values) to a flax param dict."""
     out: Dict[tuple, np.ndarray] = {}
@@ -331,6 +417,28 @@ def convert_reference_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
         _put(out, "obj_ptr_tpos_proj/kernel", _lin(sd["obj_ptr_tpos_proj.weight"]))
         _put(out, "obj_ptr_tpos_proj/bias", sd["obj_ptr_tpos_proj.bias"])
 
+    # ---------------- temporal fusion (fork modules) ----------------
+    stats_modules: Dict[str, Dict] = {}
+    fusion_variant = getattr(getattr(cfg, "temporal_fusion", None), "variant", "none")
+    i = 0
+    while any(k.startswith(f"temporal_fusion.{i}.") for k in sd):
+        p_tree, s_tree = convert_fusion_module(
+            sd, fusion_variant, prefix=f"temporal_fusion.{i}."
+        )
+        name = f"temporal_fusion_{i}"
+
+        def _flatten(prefix_tuple, node, dst):
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    _flatten(prefix_tuple + (k,), v, dst)
+                else:
+                    dst[prefix_tuple + (k,)] = v
+
+        _flatten((name,), p_tree, out)
+        if s_tree:
+            stats_modules[name] = s_tree
+        i += 1
+
     # unflatten
     tree: Dict = {}
     for path, val in out.items():
@@ -338,7 +446,10 @@ def convert_reference_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
         for p in path[:-1]:
             node = node.setdefault(p, {})
         node[path[-1]] = val
-    return {"params": tree}
+    result = {"params": tree}
+    if stats_modules:
+        result["batch_stats"] = stats_modules
+    return result
 
 
 def load_torch_checkpoint(path: str, cfg):

@@ -118,6 +118,12 @@ class SAM2Model(nn.Module):
         c = self.cfg
         out = self.forward_image(images, num_frames=images.shape[0])
         fpn = out["backbone_fpn"]
+        if self.temporal_fusion is not None and images.shape[0] < 2:
+            # single-image init never reaches the num_frames>1 fusion path;
+            # touch the fusion params on a tiny dummy so they exist in the tree
+            dummy = jnp.zeros((2, 2, 2, c.temporal_fusion.channels), self.dtype)
+            for tf in self.temporal_fusion:
+                tf(dummy, 2, True)
         feats = {"top": fpn[-1]}
         if c.use_high_res_features_in_sam:
             feats["s0"], feats["s1"] = fpn[0], fpn[1]
@@ -159,10 +165,15 @@ class SAM2Model(nn.Module):
         out = self.image_encoder(images.astype(self.dtype), deterministic)
         fpn = list(out["backbone_fpn"])
         if self.temporal_fusion is not None and num_frames > 1:
-            fpn = [
+            # fuse the top len(temporal_fusion) levels in place, keeping any
+            # lower levels untouched (reference applies one module per used
+            # feature level, sam2_base.py:1249-1262)
+            n = len(self.temporal_fusion)
+            fused = [
                 tf(f, num_frames, deterministic)
-                for tf, f in zip(self.temporal_fusion, fpn[-len(self.temporal_fusion):])
+                for tf, f in zip(self.temporal_fusion, fpn[-n:])
             ]
+            fpn = fpn[:-n] + fused
         if self.cfg.use_high_res_features_in_sam:
             fpn[0] = self.conv_s0(fpn[0])
             fpn[1] = self.conv_s1(fpn[1])

@@ -1,18 +1,39 @@
 """Temporal fusion modules — the fork's inter-frame feature mixers.
 
-Capability parity with the `######## jimin ########` modules in reference
-sam2/modeling/sam2_base.py:25-758 and TemporalContextExchange.py:5-56, applied to
-FPN feature maps across the frame axis when training on videos
+Faithful TPU ports of the `######## jimin ########` modules in reference
+sam2/modeling/sam2_base.py:25-758 and TemporalContextExchange.py:5-56, applied
+to FPN feature maps across the frame axis when training on videos
 (sam2_base.py:1249-1262, selected by editing line 855 in the reference; here by
 `TemporalFusionConfig.variant`).
 
-TPU deviations (documented, these are experimental research modules):
-- BatchNorm3d -> GroupNorm (stateless; no cross-replica batch stats needed).
-- Features are NHWC: [B*T, H, W, C]; the temporal conv is a depthwise conv over
-  a [B, T, H, W, C] view.
-- GFTE's path-graph Laplacian eigenbasis (reference sam2_base.py:421-476 computes
-  `torch.linalg.eigh` per forward) is a trace-time numpy constant — for a path
-  graph of T nodes it is the DCT-II basis, so no runtime eigendecomposition.
+Parity status (see docs/PARITY.md and tests/test_temporal_fusion.py):
+- `TemporalContextExchange` (== reference safeTemporalContextExchange,
+  sam2_base.py:697-758) and `GFTE` (sam2_base.py:372-527) are EXACT eval-mode
+  ports, fixture-verified against the reference torch modules with imported
+  weights (incl. BatchNorm3d running stats).
+- `AdaptiveTemporalSemanticFusion` (sam2_base.py:233-361) is an exact port of
+  the reference graph.
+- `SpatioTemporalGPAttention` (sam2_base.py:25-211) follows the reference's
+  *intended* math: the reference implementation itself is shape-inconsistent
+  and crashes for real inputs (`gaussian_process_attention`'s
+  torch.matmul broadcast needs B == C, sam2_base.py:120-124; the stochastic
+  sampler's `.repeat` produces an un-broadcastable [B,1,8T,1,1] mask,
+  sam2_base.py:131-137; `spatial_cov`'s view needs H == W == 1,
+  sam2_base.py:170-172), so literal output parity is unattainable — the port
+  keeps every branch but with consistent shapes.
+
+TPU design notes:
+- Features are NHWC: [B*T, H, W, C]; temporal ops act on a [B, T, H, W, C]
+  view. Depthwise temporal convs are expressed as shifted adds (XLA fuses
+  these into a handful of elementwise ops; a Conv3d would relayout).
+- BatchNorm3d is stateless here: train mode normalizes by the batch statistics
+  (exactly what torch uses for the forward pass); eval mode uses running stats
+  imported from reference checkpoints via the 'batch_stats' collection.
+  Running statistics are NOT updated during training (torch's EMA update is a
+  side effect; recompute or import stats before eval — documented deviation).
+- GFTE's graph-Fourier basis (reference eigh's the same constant weighted-path
+  Laplacian every forward, sam2_base.py:434-446) is a trace-time numpy
+  constant.
 """
 
 from __future__ import annotations
@@ -28,24 +49,68 @@ from us_video_medsam2_tpu.core.config import TemporalFusionConfig
 from us_video_medsam2_tpu.models.layers import gelu_exact
 
 
-def _group_norm(x, scale, bias, groups: int, eps: float = 1e-5):
-    """GroupNorm over channel axis of [..., C] (stateless BatchNorm3d stand-in)."""
-    c = x.shape[-1]
-    orig = x.shape
-    xf = x.astype(jnp.float32).reshape(-1, c)
-    xf = xf.reshape(xf.shape[0], groups, c // groups)
-    mean = xf.mean(axis=(0, 2), keepdims=True)
-    var = jnp.var(xf, axis=(0, 2), keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xf = xf.reshape(-1, c) * scale + bias
-    return xf.reshape(orig)
+class BatchNorm3d(nn.Module):
+    """torch.nn.BatchNorm3d semantics over NHWC-style [..., C] inputs.
+
+    Train (use_running_stats=False): normalize by biased batch statistics over
+    all non-channel axes (what torch uses in the forward pass). Eval: use the
+    running statistics stored in the 'batch_stats' collection (imported from
+    torch checkpoints; zeros/ones at init, i.e. identity-normalization).
+    """
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_stats: bool = True):
+        f = self.features
+        scale = self.param("scale", nn.initializers.ones, (f,))
+        bias = self.param("bias", nn.initializers.zeros, (f,))
+        mean_v = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((f,), jnp.float32)
+        )
+        var_v = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((f,), jnp.float32)
+        )
+        xf = x.astype(jnp.float32)
+        if use_running_stats:
+            mean, var = mean_v.value, var_v.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = xf.mean(axes)
+            var = jnp.var(xf, axes)  # biased, matching torch normalization
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y.astype(x.dtype)
+
+
+def _depthwise_tconv(xt: jnp.ndarray, w: jnp.ndarray, bias=None) -> jnp.ndarray:
+    """Depthwise temporal conv over [B, T, H, W, C] (== torch Conv3d with
+    kernel (k,1,1), groups=C, zero padding k//2). w: [k, C]."""
+    k = w.shape[0]
+    p = k // 2
+    t = xt.shape[1]
+    pad = jnp.pad(xt, ((0, 0), (p, p), (0, 0), (0, 0), (0, 0)))
+    out = sum(pad[:, i : i + t] * w[i] for i in range(k))
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def _se_gate(pooled, hidden, features, dtype, name1, name2, act=jax.nn.relu):
+    """AdaptiveAvgPool3d(1) -> 1x1 conv -> act -> 1x1 conv -> sigmoid tail
+    (the reference's channel-attention blocks; convs carry biases)."""
+    a = nn.Dense(hidden, dtype=dtype, name=name1)(pooled)
+    a = act(a)
+    a = nn.Dense(features, dtype=dtype, name=name2)(a)
+    return jax.nn.sigmoid(a)
 
 
 class TemporalContextExchange(nn.Module):
-    """Depthwise temporal conv + channel attention + alpha residual.
+    """Exact port of safeTemporalContextExchange (sam2_base.py:697-758; the
+    standalone TemporalContextExchange.py:5-56 is the same graph).
 
-    (reference TemporalContextExchange.py:5-56 / safeTemporalContextExchange,
-    sam2_base.py:697-758)
+    depthwise Conv3d(3,1,1, groups=C, no bias) -> bn1 -> channel attention
+    (SE over (T,H,W)) -> pointwise 1x1 (no bias) -> bn2 -> alpha residual.
     """
 
     channels: int
@@ -56,76 +121,67 @@ class TemporalContextExchange(nn.Module):
     def __call__(self, x: jnp.ndarray, num_frames: int, deterministic: bool = True):
         bt, h, w, c = x.shape
         if c != self.channels or num_frames <= 1:
-            return x
-        b = bt // num_frames
-        t = num_frames
+            return x  # reference returns input unchanged on mismatch (:740-742)
+        b, t = bt // num_frames, num_frames
         identity = x
         xt = x.reshape(b, t, h, w, c)
 
-        # depthwise temporal conv, kernel (3,) over T, per channel, no bias
-        dw = self.param(
-            "depthwise", nn.initializers.lecun_normal(), (3, 1, c)
-        )  # [kt, 1, C]
-        pad = jnp.pad(xt, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
-        out = (
-            pad[:, :-2] * dw[0, 0] + pad[:, 1:-1] * dw[1, 0] + pad[:, 2:] * dw[2, 0]
-        )
+        dw = self.param("depthwise", nn.initializers.lecun_normal(), (3, c))
+        out = _depthwise_tconv(xt, dw)
+        out = BatchNorm3d(c, name="bn1")(out, use_running_stats=deterministic)
 
-        gn1_s = self.param("gn1_scale", nn.initializers.ones, (c,))
-        gn1_b = self.param("gn1_bias", nn.initializers.zeros, (c,))
-        out = _group_norm(out, gn1_s, gn1_b, groups=min(32, c))
-
-        # channel attention: global avg pool over (T,H,W) -> bottleneck MLP -> sigmoid
         hidden = max(c // 16, 8)
-        pooled = out.mean(axis=(1, 2, 3))  # [B, C]
-        attn = nn.Dense(hidden, dtype=self.dtype, name="attn_fc1")(pooled)
-        attn = jax.nn.relu(attn)
-        attn = nn.Dense(c, dtype=self.dtype, name="attn_fc2")(attn)
-        attn = jax.nn.sigmoid(attn)
+        attn = _se_gate(
+            out.mean(axis=(1, 2, 3)), hidden, c, self.dtype, "attn_fc1", "attn_fc2"
+        )
         out = out * attn[:, None, None, None, :]
 
         out = nn.Dense(c, use_bias=False, dtype=self.dtype, name="pointwise")(out)
-        gn2_s = self.param("gn2_scale", nn.initializers.ones, (c,))
-        gn2_b = self.param("gn2_bias", nn.initializers.zeros, (c,))
-        out = _group_norm(out, gn2_s, gn2_b, groups=min(32, c))
+        out = BatchNorm3d(c, name="bn2")(out, use_running_stats=deterministic)
 
-        alpha = self.param(
-            "alpha", nn.initializers.constant(self.alpha_init), ()
-        )
+        alpha = self.param("alpha", nn.initializers.constant(self.alpha_init), ())
         out = out.reshape(bt, h, w, c)
         return identity + alpha.astype(x.dtype) * out.astype(x.dtype)
 
 
 @functools.lru_cache(maxsize=16)
-def _path_laplacian_eigh(t: int):
-    """Eigendecomposition of the T-node path-graph Laplacian (trace-time constant).
+def _gfte_eigenbasis(t: int):
+    """Eigenbasis of the reference GFTE's normalized weighted-path Laplacian.
 
-    Reference GFTE builds L = D - A for the temporal path graph and eigh's it per
-    forward (sam2_base.py:421-476); for a path graph this basis is closed-form.
+    Reference builds A = 0.4*I + 0.3*(off-diagonal path), L_sym =
+    D^-1/2 (D - A) D^-1/2 and eigh's it EVERY forward under no_grad
+    (sam2_base.py:434-446). T is static under jit, so this is a trace-time
+    constant here. Eigenvector signs cancel (the basis is used as
+    U diag(g) U^T), so numpy/torch eigh sign conventions don't matter.
     """
-    lap = np.zeros((t, t), np.float64)
-    for i in range(t):
-        deg = (1 if i > 0 else 0) + (1 if i < t - 1 else 0)
-        lap[i, i] = deg
-        if i > 0:
-            lap[i, i - 1] = -1
-        if i < t - 1:
-            lap[i, i + 1] = -1
-    evals, evecs = np.linalg.eigh(lap)
-    return evals.astype(np.float32), evecs.astype(np.float32)
+    a = np.eye(t, dtype=np.float64) * 0.4
+    for i in range(t - 1):
+        a[i, i + 1] = a[i + 1, i] = 0.3
+    d = a.sum(axis=1)
+    lap = np.diag(d) - a
+    d_inv_sqrt = np.diag(1.0 / np.sqrt(d + 1e-6))
+    l_sym = d_inv_sqrt @ lap @ d_inv_sqrt
+    _, evecs = np.linalg.eigh(l_sym)
+    return evecs.astype(np.float32)  # [T, T], columns = eigenvectors ascending
 
 
 class GFTE(nn.Module):
-    """Graph-Fourier temporal exchange (reference sam2_base.py:372-527).
+    """Exact port of reference GFTE (sam2_base.py:372-527) — the variant wired
+    in the shipped configs (sam2_base.py:855).
 
-    Spectral filtering of per-frame global descriptors on the temporal path
-    graph + temporal MHA + multi-scale depthwise temporal convs, 0.1-scaled
-    residual.
+    Branches: (1) graph-Fourier filtering of the full spatio-temporal signal
+    with a per-channel spectral filter (the reference's (1,C,1)->linear-interp
+    filter is constant across frequencies, :455-460, so it reduces to a
+    per-channel gain); (2) temporal MultiheadAttention over per-frame global
+    descriptors (8 heads, dropout 0.1, :381-386); (3) softmax-weighted
+    multi-scale depthwise temporal convs k∈{3,5,7} (:389-398, 509-510);
+    aggregated -> bn1 -> SE spectral gate -> refinement MLP -> bn2 -> fixed
+    0.1 residual (:512-527).
     """
 
     channels: int
-    num_heads: int = 4
-    alpha: float = 0.1
+    num_heads: int = 8
+    dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -137,52 +193,82 @@ class GFTE(nn.Module):
         identity = x
         xt = x.reshape(b, t, h, w, c)
 
-        # --- spectral branch on global temporal signal ---
-        evals, evecs = _path_laplacian_eigh(t)
-        evecs_j = jnp.asarray(evecs)  # [T, T]
-        sig = xt.mean(axis=(2, 3))  # [B, T, C]
-        spec = jnp.einsum("kt,btc->bkc", evecs_j.T, sig)
-        # learned spectral gate (low-pass init: ones)
-        gate = self.param("spectral_gate", nn.initializers.ones, (t, 1))
-        spec = spec * gate
-        sig_f = jnp.einsum("tk,bkc->btc", evecs_j, spec)
-        sig_f = nn.Dense(c, dtype=self.dtype, name="spec_proj")(sig_f)
+        # --- (1) spectral branch: GFT over the frame axis of the FULL signal ---
+        evecs = jnp.asarray(_gfte_eigenbasis(t))  # [T, T]
+        # reference filter param is (1, C, 1) init 0.5, linearly interpolated to
+        # length T — interpolation of a single sample is constant, i.e. one
+        # gain per channel (sam2_base.py:455-460)
+        filt = self.param(
+            "spectral_filters", nn.initializers.constant(0.5), (c,)
+        )
+        spec = jnp.einsum("kt,bthwc->bkhwc", evecs.T, xt)
+        spectral = jnp.einsum("tk,bkhwc->bthwc", evecs, spec * filt)
 
-        # --- temporal multi-head attention over frames ---
-        qkv = nn.Dense(3 * c, dtype=self.dtype, name="tattn_qkv")(sig + sig_f)
+        # --- (2) temporal MHA over per-frame global descriptors ---
+        sig = xt.mean(axis=(2, 3))  # [B, T, C] == x_5d.mean(dim=[3,4]).T(1,2)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="tattn_in_proj")(sig)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         hd = c // self.num_heads
         q = q.reshape(b, t, self.num_heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, t, self.num_heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, self.num_heads, hd).transpose(0, 2, 1, 3)
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hd**-0.5)
-        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
-        tsig = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        tsig = tsig.transpose(0, 2, 1, 3).reshape(b, t, c)
-        tsig = nn.Dense(c, dtype=self.dtype, name="tattn_proj")(tsig)
-
-        # --- multi-scale depthwise temporal convs (k in {3,5,7}) ---
-        mixed = jnp.zeros_like(xt)
-        for ki, ksz in enumerate((3, 5, 7)):
-            dw = self.param(
-                f"msdw_{ksz}", nn.initializers.lecun_normal(), (ksz, 1, c)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+        if self.dropout > 0.0 and not deterministic:
+            probs = nn.Dropout(self.dropout, deterministic=False, name="attn_drop")(
+                probs
             )
-            p = ksz // 2
-            pad = jnp.pad(xt, ((0, 0), (p, p), (0, 0), (0, 0), (0, 0)))
-            acc = sum(pad[:, i : i + t] * dw[i, 0] for i in range(ksz))
-            mixed = mixed + acc / 3.0
+        tsig = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        tsig = tsig.transpose(0, 2, 1, 3).reshape(b, t, c)
+        tsig = nn.Dense(c, dtype=self.dtype, name="tattn_out_proj")(tsig)
+        attn_feat = tsig[:, :, None, None, :]  # broadcast over H, W
 
-        out = mixed + (sig_f + tsig)[:, :, None, None, :]
-        out = gelu_exact(nn.Dense(c, dtype=self.dtype, name="fuse")(out))
-        out = out.reshape(bt, h, w, c)
-        return identity + self.alpha * out.astype(x.dtype)
+        # --- (3) softmax-weighted multi-scale depthwise temporal convs ---
+        mix_logits = jnp.stack(
+            [
+                self.param("alpha", nn.initializers.constant(0.1), ()),
+                self.param("beta", nn.initializers.constant(0.1), ()),
+                self.param("gamma", nn.initializers.constant(0.1), ()),
+            ]
+        )
+        mix = jax.nn.softmax(mix_logits)
+        ms = jnp.zeros_like(xt)
+        for i, ksz in enumerate((3, 5, 7)):
+            dw = self.param(
+                f"msdw_{ksz}", nn.initializers.lecun_normal(), (ksz, c)
+            )
+            dwb = self.param(f"msdw_{ksz}_bias", nn.initializers.zeros, (c,))
+            ms = ms + mix[i] * _depthwise_tconv(xt, dw, dwb)
+
+        agg = spectral + attn_feat + ms
+        agg = BatchNorm3d(c, name="norm1")(agg, use_running_stats=deterministic)
+
+        gate = _se_gate(
+            agg.mean(axis=(1, 2, 3)),
+            max(c // 16, 8),
+            c,
+            self.dtype,
+            "gate_fc1",
+            "gate_fc2",
+        )
+        gated = agg * gate[:, None, None, None, :]
+        ref = nn.Dense(2 * c, dtype=self.dtype, name="refine_fc1")(gated)
+        ref = gelu_exact(ref)
+        ref = nn.Dense(c, dtype=self.dtype, name="refine_fc2")(ref)
+        ref = BatchNorm3d(c, name="norm2")(ref, use_running_stats=deterministic)
+
+        out = ref.reshape(bt, h, w, c)
+        return identity + 0.1 * out.astype(x.dtype)  # fixed 0.1 (:527)
 
 
 class AdaptiveTemporalSemanticFusion(nn.Module):
-    """Local/global temporal conv branches + fusion gate (reference sam2_base.py:233-361)."""
+    """Exact port of reference AdaptiveTemporalSemanticFusion
+    (sam2_base.py:233-361): local depthwise-conv branch vs global
+    temporal-context branch, softmax fusion gate, cross-temporal SE attention,
+    learnable per-channel scale, projection + BN, learned 0.1 residual."""
 
     channels: int
-    alpha: float = 0.1
+    reduction_ratio: int = 16
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -194,28 +280,172 @@ class AdaptiveTemporalSemanticFusion(nn.Module):
         identity = x
         xt = x.reshape(b, t, h, w, c)
 
-        # local branch: depthwise temporal conv k=3
-        dw = self.param("local_dw", nn.initializers.lecun_normal(), (3, 1, c))
-        pad = jnp.pad(xt, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
-        local = pad[:, :-2] * dw[0, 0] + pad[:, 1:-1] * dw[1, 0] + pad[:, 2:] * dw[2, 0]
+        # local branch: depthwise temporal conv (no bias) -> BN -> GELU (:245-253)
+        dw = self.param("local_dw", nn.initializers.lecun_normal(), (3, c))
+        local = _depthwise_tconv(xt, dw)
+        local = BatchNorm3d(c, name="local_bn")(local, use_running_stats=deterministic)
         local = gelu_exact(local)
 
-        # global branch: temporal mean broadcast
-        g = xt.mean(axis=1, keepdims=True)
-        glob = nn.Dense(c, dtype=self.dtype, name="global_proj")(g)
-        glob = jnp.broadcast_to(glob, xt.shape)
+        # global branch: pool (H,W) keep T -> 1x1 (no bias) -> BN -> sigmoid,
+        # used as a multiplicative context on x (:256-261, 326-327)
+        gctx = xt.mean(axis=(2, 3), keepdims=True)  # [B, T, 1, 1, C]
+        gctx = nn.Dense(c, use_bias=False, dtype=self.dtype, name="global_proj")(gctx)
+        gctx = BatchNorm3d(c, name="global_bn")(gctx, use_running_stats=deterministic)
+        global_feat = xt * jax.nn.sigmoid(gctx)
 
-        gate_in = jnp.concatenate([local, glob], axis=-1)
-        gate = jax.nn.sigmoid(nn.Dense(c, dtype=self.dtype, name="gate")(gate_in))
-        out = gate * local + (1.0 - gate) * glob
+        # adaptive fusion gate: softmax over the two branches (:274-281, 330-333)
+        fg = nn.Dense(max(c // 8, 8), dtype=self.dtype, name="fgate_fc1")(
+            xt.mean(axis=(1, 2, 3))
+        )
+        fg = gelu_exact(fg)
+        fg = nn.Dense(2, dtype=self.dtype, name="fgate_fc2")(fg)
+        fw = jax.nn.softmax(fg, axis=-1)  # [B, 2]
+        fused = (
+            fw[:, 0][:, None, None, None, None] * local
+            + fw[:, 1][:, None, None, None, None] * global_feat
+        )
+
+        # cross-temporal attention on the temporal mean (:264-269, 336-338)
+        ta = fused.mean(axis=1, keepdims=True)
+        ta = nn.Dense(c // self.reduction_ratio, dtype=self.dtype, name="ctattn_fc1")(ta)
+        ta = gelu_exact(ta)
+        ta = nn.Dense(c, dtype=self.dtype, name="ctattn_fc2")(ta)
+        attended = fused * jax.nn.sigmoid(ta)
+
+        scale = self.param("scale_selector", nn.initializers.ones, (c,))
+        scaled = attended * scale
+
+        out = nn.Dense(c, use_bias=False, dtype=self.dtype, name="out_proj")(scaled)
+        out = BatchNorm3d(c, name="out_bn")(out, use_running_stats=deterministic)
+
+        rw = self.param("residual_weight", nn.initializers.constant(0.1), ())
         out = out.reshape(bt, h, w, c)
-        return identity + self.alpha * out.astype(x.dtype)
+        return identity + rw.astype(x.dtype) * out.astype(x.dtype)
+
+
+class SpatioTemporalGPAttention(nn.Module):
+    """Port of SpatioTemporalGaussianProcessAttention (sam2_base.py:25-211)
+    following the reference's intended math — the reference code itself cannot
+    run on real shapes (see module docstring above), so this keeps every branch
+    with consistent shapes:
+
+    RBF-mixture temporal kernel attention (:99-124, kernels amplitude-scaled
+    per channel, length scales exp-parameterized, mixture softmax-weighted,
+    unnormalized RBF rows) -> stochastic temporal importance sampling (:126-144,
+    Gumbel-softmax in training) -> covariance-weighted fusion (:160-167) ->
+    depthwise diffusion + BN + GELU (:63-71) -> uncertainty-aware Bayesian
+    fusion (:73-78, :174-181) -> temporal pooling (:81-87, :184-187) ->
+    spectrally-normalized projection + BN (:89-94) -> tanh(temperature)
+    residual (:97, :210).
+    """
+
+    channels: int
+    num_components: int = 4
+    num_basis: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, num_frames: int, deterministic: bool = True):
+        bt, h, w, c = x.shape
+        if c != self.channels or num_frames <= 1:
+            return x
+        b, t = bt // num_frames, num_frames
+        identity = x
+        xt = x.reshape(b, t, h, w, c)
+
+        temperature = self.param("temperature", nn.initializers.ones, ())
+
+        # --- RBF-mixture temporal kernel attention ---
+        kernels = self.param(
+            "temporal_kernels", nn.initializers.normal(0.02), (self.num_components, c)
+        )
+        kw = self.param("kernel_weights", nn.initializers.ones, (self.num_components,))
+        ls = self.param("length_scales", nn.initializers.ones, (self.num_components,))
+        tg = jnp.arange(t, dtype=jnp.float32)
+        time_grid = tg[:, None] - tg[None, :]  # [T, T]
+        weights = jax.nn.softmax(kw)
+        attended = jnp.zeros_like(xt)
+        for i in range(self.num_components):
+            length = jnp.exp(ls[i])  # reference :115 ensures positivity via exp
+            rbf = jnp.exp(-(time_grid**2) / (2.0 * length**2))  # unnormalized
+            mixed = jnp.einsum("st,bthwc->bshwc", rbf, xt)
+            attended = attended + weights[i] * mixed * kernels[i]
+
+        # --- stochastic temporal importance sampling ---
+        basis = self.param(
+            "temporal_basis", nn.initializers.normal(0.02), (self.num_basis, c)
+        )
+        imp_sig = basis.mean(axis=1)  # [num_basis] — reference means over C (:133)
+        # resample the learned basis to T frames (linear, matching the intent
+        # of a length-8 temporal importance profile)
+        src = jnp.linspace(0.0, self.num_basis - 1.0, t)
+        lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, self.num_basis - 1)
+        hi = jnp.clip(lo + 1, 0, self.num_basis - 1)
+        frac = src - lo
+        imp_t = imp_sig[lo] * (1 - frac) + imp_sig[hi] * frac  # [T]
+        importance = jax.nn.softmax(imp_t)
+        if not deterministic:
+            g = jax.random.gumbel(self.make_rng("dropout"), (b, t))
+            mask = jax.nn.softmax(
+                (jnp.log(importance + 1e-8) + g) / temperature, axis=-1
+            )
+        else:
+            mask = jnp.broadcast_to(importance, (b, t))
+        stoch = xt * mask[:, :, None, None, None]
+
+        # --- spatio-temporal covariance weighting ---
+        pooled = xt.mean(axis=(1, 2, 3))  # [B, C] (pool over T, H, W)
+        cv = nn.Dense(c // 8, dtype=self.dtype, name="cov_fc1")(pooled)
+        cv = gelu_exact(cv)
+        cv = nn.Dense(2 * c, dtype=self.dtype, name="cov_fc2")(cv)
+        cov_var = cv[:, c:]  # [B, C] (mean half unused, as in reference :166)
+        cov_w = jax.nn.sigmoid(cov_var)[:, None, None, None, :]
+        fused = attended * cov_w + stoch * (1.0 - cov_w)
+
+        # --- temporal diffusion ---
+        dw = self.param("diffusion_dw", nn.initializers.lecun_normal(), (3, c))
+        diffused = _depthwise_tconv(fused, dw)
+        diffused = BatchNorm3d(c, name="diffusion_bn")(
+            diffused, use_running_stats=deterministic
+        )
+        diffused = gelu_exact(diffused)
+
+        # --- uncertainty-aware Bayesian fusion ---
+        u = nn.Dense(c // 4, dtype=self.dtype, name="unc_fc1")(diffused)
+        u = gelu_exact(u)
+        u = nn.Dense(2, dtype=self.dtype, name="unc_fc2")(u)
+        mean, variance = u[..., 0:1], u[..., 1:2]
+        precision = 1.0 / (jax.nn.softplus(variance) + 1e-6)  # softplus guards the
+        # reference's raw 1/(var+1e-6) (:180) against negative variances
+        fused2 = (mean * precision + diffused) / (precision + 1.0)
+
+        # --- adaptive temporal pooling: full temporal conv then (H,W) pool ---
+        tp = self.param(
+            "tpool_kernel", nn.initializers.lecun_normal(), (3, c, c)
+        )
+        tpb = self.param("tpool_bias", nn.initializers.zeros, (c,))
+        # the (3,1,1) full conv is 1x1 spatially, so it commutes with the (H,W)
+        # average pool — pooling first is exact and far cheaper
+        m = fused2.mean(axis=(2, 3))  # [B, T, C]
+        padm = jnp.pad(m, ((0, 0), (1, 1), (0, 0)))
+        pooled_t = sum(
+            jnp.einsum("btc,cd->btd", padm[:, i : i + t], tp[i]) for i in range(3)
+        )
+        pooled_t = pooled_t + tpb
+        out = fused2 + pooled_t[:, :, None, None, :]  # broadcast over H, W
+
+        out = nn.Dense(c, use_bias=False, dtype=self.dtype, name="output_proj")(out)
+        out = BatchNorm3d(c, name="bn")(out, use_running_stats=deterministic)
+
+        out = out.reshape(bt, h, w, c)
+        return identity + jnp.tanh(temperature).astype(x.dtype) * out.astype(x.dtype)
 
 
 VARIANTS = {
     "tce": TemporalContextExchange,
     "gfte": GFTE,
     "atsf": AdaptiveTemporalSemanticFusion,
+    "gp": SpatioTemporalGPAttention,
 }
 
 
@@ -228,69 +458,3 @@ def build_temporal_fusion(cfg: TemporalFusionConfig, dtype=jnp.float32):
         cls(channels=cfg.channels, dtype=dtype, name=f"temporal_fusion_{i}")
         for i in range(cfg.num_levels)
     ]
-
-
-class SpatioTemporalGPAttention(nn.Module):
-    """Gaussian-process temporal attention (reference sam2_base.py:25-211).
-
-    TPU recast of the fork's GP module: RBF-mixture temporal kernel over the
-    frame axis, depthwise temporal diffusion, uncertainty-weighted Bayesian
-    fusion, tanh-temperature residual. BatchNorm3d -> GroupNorm; spectral-norm
-    output projection -> plain Dense (spectral norm is a training-time power
-    iteration the stateless recast omits, noted in docs/PARITY.md).
-    """
-
-    channels: int
-    num_components: int = 4
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, num_frames: int, deterministic: bool = True):
-        bt, h, w, c = x.shape
-        if c != self.channels or num_frames <= 1:
-            return x
-        b, t = bt // num_frames, num_frames
-        identity = x
-        xt = x.reshape(b, t, h, w, c)
-
-        # --- RBF-mixture temporal kernel attention (reference :98-123) ---
-        kernels = self.param(
-            "temporal_kernels",
-            nn.initializers.normal(0.02),
-            (self.num_components, c),
-        )
-        kw = self.param("kernel_weights", nn.initializers.ones, (self.num_components,))
-        ls = self.param("length_scales", nn.initializers.ones, (self.num_components,))
-        tg = jnp.arange(t, dtype=jnp.float32)
-        time_grid = tg[:, None] - tg[None, :]  # [T, T]
-        weights = jax.nn.softmax(kw)
-        attended = jnp.zeros_like(xt)
-        for i in range(self.num_components):
-            rbf = jnp.exp(-(time_grid**2) / (2.0 * ls[i] ** 2))  # [T, T]
-            rbf = rbf / jnp.clip(rbf.sum(-1, keepdims=True), 1e-6)
-            mixed = jnp.einsum("st,bthwc->bshwc", rbf, xt)
-            attended = attended + weights[i] * mixed * kernels[i]
-
-        # --- depthwise temporal diffusion (reference :62-71, k=(3,1,1)) ---
-        dw = self.param("diffusion_dw", nn.initializers.lecun_normal(), (3, 1, c))
-        pad = jnp.pad(attended, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
-        diffused = pad[:, :-2] * dw[0, 0] + pad[:, 1:-1] * dw[1, 0] + pad[:, 2:] * dw[2, 0]
-        gn_s = self.param("gn_scale", nn.initializers.ones, (c,))
-        gn_b = self.param("gn_bias", nn.initializers.zeros, (c,))
-        diffused = gelu_exact(_group_norm(diffused, gn_s, gn_b, groups=min(32, c)))
-
-        # --- uncertainty-aware Bayesian fusion (reference :73-91) ---
-        u = nn.Dense(c // 4, dtype=self.dtype, name="unc_fc1")(diffused)
-        u = gelu_exact(u)
-        u = nn.Dense(2, dtype=self.dtype, name="unc_fc2")(u)
-        mean, variance = u[..., 0:1], u[..., 1:2]
-        precision = 1.0 / (jax.nn.softplus(variance) + 1e-6)
-        fused = (mean * precision + diffused) / (precision + 1.0)
-
-        out = nn.Dense(c, use_bias=False, dtype=self.dtype, name="output_proj")(fused)
-        temperature = self.param("temperature", nn.initializers.ones, ())
-        out = out.reshape(bt, h, w, c)
-        return identity + jnp.tanh(temperature) * out.astype(x.dtype)
-
-
-VARIANTS["gp"] = SpatioTemporalGPAttention

@@ -54,8 +54,10 @@ def create_train_state(model: SAM2Model, params, cfg: TrainConfig) -> TrainState
 
 def make_train_step(model: SAM2Model, cfg: TrainConfig, donate: bool = True):
     def loss_fn(params, batch: TrainBatch, rng):
+        rng, drop_rng = jax.random.split(rng)
         stacked, finals = train_forward(
-            model, params, rng, batch.images, batch.masks, cfg.sim, is_training=True
+            model, params, rng, batch.images, batch.masks, cfg.sim,
+            is_training=True, dropout_rng=drop_rng,
         )
         obj_valid = batch.obj_valid.reshape(-1)
         losses = multi_step_loss_stacked(
