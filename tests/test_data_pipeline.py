@@ -182,3 +182,36 @@ def test_random_resize_api_samples_per_call():
         dp = tr(dp)
         seen.add(dp.images[0].shape[0])
     assert len(seen) > 1, "size must be drawn per datapoint, not once at init"
+
+
+def test_vertical_flip_and_flare_stack(npz_dir):
+    from us_video_medsam2_tpu.training.data import (
+        RandomVerticalFlip,
+        VideoDatapoint,
+        flare_train_transforms,
+    )
+    import random as _random
+
+    img = np.zeros((20, 20, 3), np.float32)
+    img[2, :, :] = 1.0  # marker row near the top
+    mask = np.zeros((20, 20), bool)
+    mask[2, :] = True
+    _random.seed(1)
+    flipped = False
+    for _ in range(20):
+        dp = VideoDatapoint(images=[img.copy()], masks=[{1: mask.copy()}])
+        dp = RandomVerticalFlip(p=0.5)(dp)
+        if dp.images[0][17].sum() > 0:
+            flipped = True
+            assert dp.masks[1 - 1][1][17].all()  # mask flips WITH the image
+            assert not dp.masks[0][1][2].any()
+    assert flipped
+
+    # the full FLARE stack runs end-to-end through VOSDataset
+    ds = VOSDataset(
+        NPZRawDataset(npz_dir),
+        RandomUniformSampler(num_frames=3, max_num_objects=2),
+        transforms=flare_train_transforms(48),
+    )
+    dp = ds.get_datapoint(3)
+    assert len(dp.images) == 3 and dp.images[0].shape == (48, 48, 3)

@@ -374,6 +374,22 @@ class RandomHorizontalFlip:
         return dp
 
 
+class RandomVerticalFlip:
+    """(reference transforms.py:148-163; used by the shipped FLARE configs,
+    efficientmedsam_s_512_FLARE_RECIST.yaml:26)"""
+
+    def __init__(self, consistent_transform=True, p=0.5):
+        self.p = p
+
+    def __call__(self, dp: VideoDatapoint) -> VideoDatapoint:
+        if random.random() < self.p:
+            dp.images = [img[::-1] for img in dp.images]
+            dp.masks = [
+                {k: m[::-1] for k, m in frame.items()} for frame in dp.masks
+            ]
+        return dp
+
+
 class RandomAffine:
     """Consistent affine with retry-until-objects-visible
     (reference transforms.py:332-430)."""
@@ -382,25 +398,31 @@ class RandomAffine:
         self,
         degrees: float = 25.0,
         shear: float = 20.0,
-        translate: Optional[float] = None,
+        translate=None,
+        scale=None,
         image_interpolation: str = "bilinear",
         consistent_transform: bool = True,
         num_retries: int = 10,
+        p: float = 1.0,
     ):
         self.degrees = degrees
         self.shear = shear
         self.translate = translate
+        self.scale = tuple(scale) if scale else None
         self.num_retries = num_retries
+        self.p = p  # FLARE config applies a second affine with p=0.1
 
     def _matrix(self, h, w):
         angle = random.uniform(-self.degrees, self.degrees)
         shear_x = random.uniform(-self.shear, self.shear)
         tx = ty = 0.0
         if self.translate:
-            tx = random.uniform(-self.translate, self.translate) * w
-            ty = random.uniform(-self.translate, self.translate) * h
+            t = self.translate if isinstance(self.translate, (int, float)) else self.translate[0]
+            tx = random.uniform(-t, t) * w
+            ty = random.uniform(-t, t) * h
+        zoom = random.uniform(*self.scale) if self.scale else 1.0
         center = (w / 2.0, h / 2.0)
-        rot = cv2.getRotationMatrix2D(center, angle, 1.0)
+        rot = cv2.getRotationMatrix2D(center, angle, zoom)
         sh = np.tan(np.deg2rad(shear_x))
         shear_m = np.array([[1, sh, -sh * center[1]], [0, 1, 0]], np.float64)
         m = np.vstack([rot, [0, 0, 1]]) @ np.vstack([shear_m, [0, 0, 1]])
@@ -409,7 +431,7 @@ class RandomAffine:
         return m[:2]
 
     def __call__(self, dp: VideoDatapoint) -> VideoDatapoint:
-        if cv2 is None:
+        if cv2 is None or random.random() >= self.p:
             return dp
         h, w = dp.images[0].shape[:2]
         for _ in range(self.num_retries):
@@ -560,6 +582,29 @@ class ComposeAPI:
         for t in self.transforms:
             dp = t(dp)
         return dp
+
+
+def flare_train_transforms(resolution: int = 512) -> ComposeAPI:
+    """The shipped EfficientMedSAM FLARE recipe's augmentation stack
+    (reference efficientmedsam_s_512_FLARE_RECIST.yaml:20-69): h+v flips,
+    two affines (strong consistent + weak per-call p=0.1), resize, noise,
+    blur, two color jitters, normalize."""
+    return ComposeAPI(
+        [
+            RandomHorizontalFlip(),
+            RandomVerticalFlip(),
+            RandomAffine(degrees=25, shear=20, scale=(0.7, 1.4)),
+            RandomAffine(
+                degrees=5, shear=5, scale=(0.95, 1.05), translate=(0.05, 0.05), p=0.1
+            ),
+            RandomResizeAPI(resolution),
+            RandomGaussianNoise(p=0.1),
+            RandomGaussianBlur(p=0.2, kernel_size=5, sigma=(0.5, 1.0)),
+            ColorJitter(True, 0.2, 0.2, 0.03),
+            ColorJitter(False, 0.1, 0.05, 0.05),
+            NormalizeAPI(),
+        ]
+    )
 
 
 def default_train_transforms(resolution: int = 512) -> ComposeAPI:

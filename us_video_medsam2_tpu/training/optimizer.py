@@ -42,6 +42,7 @@ class OptimConfig:
     # reference training/model/efficienttam.py:70-129)
     freeze_patterns: tuple = ()
     grad_dtype: str = "float32"  # 'bfloat16' casts grads before the DP all-reduce
+    accum_steps: int = 1  # gradient accumulation micro-steps per optimizer step
 
 
 def _path_str(path) -> str:
@@ -132,4 +133,10 @@ def build_optimizer(params, cfg: OptimConfig) -> optax.GradientTransformation:
         updates = jax.tree.map(apply, updates, params, groups, mults, wd_on)
         return updates, {"adam": adam_state, "count": state["count"] + 1}
 
-    return optax.GradientTransformation(init_fn, update_fn)
+    tx = optax.GradientTransformation(init_fn, update_fn)
+    if cfg.accum_steps > 1:
+        # gradient accumulation: average grads over k micro-steps, apply once
+        # (capability parity with large-batch recipes; schedules advance per
+        # OPTIMIZER step, as the reference's fractional-epoch "where" does)
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
+    return tx

@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import signal
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
@@ -46,11 +47,17 @@ class TrainerConfig:
     max_epochs: int = 100
     save_dir: str = "work_dir"
     save_freq: int = 10
+    save_epochs: List[int] = field(default_factory=list)  # extra named ckpts
     log_freq: int = 10
     seed: int = 0
     val_epoch_freq: int = 1
     best_meter_key: str = "core_loss"  # lower is better
     skip_saving_parameters: List[str] = field(default_factory=list)
+    # checkpoint-and-exit on these signals (preemption handling: the reference
+    # relies on submitit's Checkpointable requeue, training/train.py:65-111;
+    # here the sbatch script requeues and this trainer guarantees a fresh
+    # checkpoint exists to auto-resume from)
+    checkpoint_signals: tuple = (signal.SIGTERM, signal.SIGUSR1)
 
 
 class Trainer:
@@ -80,6 +87,16 @@ class Trainer:
         os.makedirs(self.cfg.save_dir, exist_ok=True)
         self.tb = self._make_tb_writer()
         self._maybe_resume()
+        self._preempted = False
+        for sig in self.cfg.checkpoint_signals:
+            try:
+                signal.signal(sig, self._on_preempt_signal)
+            except ValueError:  # not on the main thread (e.g. inside a test runner)
+                pass
+
+    def _on_preempt_signal(self, signum, frame):
+        logging.warning("received signal %d: will checkpoint and exit", signum)
+        self._preempted = True
 
     def _make_tb_writer(self):
         """rank-0 TensorBoard writer (reference training/utils/logger.py:27-150)."""
@@ -149,8 +166,13 @@ class Trainer:
             ),
         )
 
+    LOSS_KEYS = (
+        "core_loss", "loss_mask", "loss_dice", "loss_iou", "loss_class",
+        "loss_temporal", "grad_norm",
+    )
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
-        meters = {k: AverageMeter(k) for k in ("core_loss",)}
+        meters: Dict[str, AverageMeter] = {}
         data_time = AverageMeter("data_time")
         batch_time = AverageMeter("batch_time")
         rng = jax.random.PRNGKey(self.cfg.seed * 100003 + epoch)
@@ -166,8 +188,9 @@ class Trainer:
                 raise FloatingPointError(
                     f"loss is {core} at epoch {epoch} iter {it}"
                 )  # NaN guard (reference trainer.py:865-871)
-            for k, m in meters.items():
-                m.update(float(metrics[k]))
+            for k in self.LOSS_KEYS:
+                if k in metrics:
+                    meters.setdefault(k, AverageMeter(k)).update(float(metrics[k]))
             if self.tb is not None and it % self.cfg.log_freq == 0:
                 step = int(self.state.step)
                 self.tb.add_scalar("Losses/train_all_loss", core, step)
@@ -187,6 +210,12 @@ class Trainer:
                     data_time,
                     self.mem_meter.peak_gib,
                 )
+            if self._preempted:
+                self.save_checkpoint()
+                logging.warning(
+                    "preemption checkpoint at epoch %d iter %d; exiting", epoch, it
+                )
+                raise SystemExit(0)
         return {k: m.avg for k, m in meters.items()}
 
     def val_epoch(self, epoch: int) -> Dict[str, float]:
@@ -208,6 +237,7 @@ class Trainer:
     def run(self):
         stats_path = os.path.join(self.cfg.save_dir, "train_stats.json")
         best_path = os.path.join(self.cfg.save_dir, "best_stats.json")
+        start_epoch = self.epoch
         while self.epoch < self.cfg.max_epochs:
             epoch = self.epoch
             stats = self.train_epoch(epoch)
@@ -218,6 +248,9 @@ class Trainer:
                 "steps": int(self.state.step),
                 "time_elapsed": self.time_meter.elapsed,
             }
+            record.update(
+                {f"Losses/{k}": v for k, v in stats.items() if k != "core_loss"}
+            )
             if self.val_loader is not None and epoch % self.cfg.val_epoch_freq == 0:
                 record.update(self.val_epoch(epoch))
             with open(stats_path, "a") as f:
@@ -230,5 +263,15 @@ class Trainer:
             self.epoch += 1
             if self.cfg.save_freq and epoch % self.cfg.save_freq == 0:
                 self.save_checkpoint()
+            if epoch in self.cfg.save_epochs:  # epoch-list checkpoints
+                self.save_checkpoint(f"checkpoint_epoch_{epoch}")
+            done_frac = (epoch + 1 - start_epoch) / max(
+                self.cfg.max_epochs - start_epoch, 1
+            )
+            eta = self.time_meter.elapsed * (1.0 / done_frac - 1.0)
+            logging.info(
+                "epoch %d done | loss %.4f | elapsed %.0fs | ETA %.0fs",
+                epoch, stats["core_loss"], self.time_meter.elapsed, eta,
+            )
         self.save_checkpoint()
         return self.best
