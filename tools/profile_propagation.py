@@ -1,0 +1,171 @@
+"""Capture a jax.profiler trace of the video-propagation scan on the real TPU
+and print self-time breakdowns (per HLO category, per model module, per op).
+
+The reference has no profiling tooling at all (timing meters only,
+efficient_track_anything/benchmark.py); this is the TPU-native analogue:
+xprof device traces attributed back to model modules via XLA op metadata.
+
+Usage:
+    python tools/profile_propagation.py [--frames 64] [--out /tmp/prop_trace]
+    python tools/profile_propagation.py --analyze-only --out /tmp/prop_trace
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def capture(out_dir: str, num_frames: int) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from us_video_medsam2_tpu.core.config import SAM2Config
+    from us_video_medsam2_tpu.inference.video_predictor import SAM2VideoPredictor
+    from us_video_medsam2_tpu.models.sam2 import SAM2Model
+
+    cfg = SAM2Config()
+    model = SAM2Model(cfg, dtype=jnp.bfloat16)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+    )
+    predictor = SAM2VideoPredictor(model, params, fill_hole_area=8)
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(
+        rng.standard_normal((num_frames, cfg.image_size, cfg.image_size, 3)),
+        jnp.float32,
+    )
+    state = predictor.init_state(video, cfg.image_size, cfg.image_size, 1)
+    predictor.add_new_points_or_box(
+        state, 0, 1, points=np.array([[256.0, 256.0]]), labels=np.array([1])
+    )
+    predictor.propagate_in_video_preflight(state)
+
+    def run():
+        _, lows, _ = predictor._propagate(
+            predictor.params,
+            state.images,
+            state.bank,
+            jnp.asarray(0),
+            jnp.asarray(state.num_frames - 1),
+            num_frames=state.num_frames,
+            reverse=False,
+        )
+        np.asarray(lows[-1, 0, :2, :2])  # host fetch => true completion
+
+    run()  # compile + warm
+    run()
+    jax.profiler.start_trace(out_dir)
+    run()
+    jax.profiler.stop_trace()
+    print(f"trace written to {out_dir}", file=sys.stderr)
+
+
+def _module_of(tf_op: str) -> str:
+    tf = re.sub(r"^jit\([^)]*\)/", "", tf_op)
+    tf = re.sub(r"(while|body|closed_call|cond|branch_\d+_fun)/", "", tf)
+    parts = tf.split("/")
+    keep = parts[: min(4, len(parts))]
+    return "/".join(keep[:-1]) if len(keep) > 1 else tf
+
+
+def analyze(out_dir: str, top: int = 30, frames: int = 64) -> None:
+    """Parse the trace-viewer JSON: self-time per HLO category / module / op."""
+    paths = sorted(
+        glob.glob(os.path.join(out_dir, "**", "*.trace.json.gz"), recursive=True)
+    )
+    if not paths:
+        print("no trace.json.gz found under", out_dir, file=sys.stderr)
+        return
+    with gzip.open(paths[-1]) as f:
+        data = json.load(f)
+    all_evs = data.get("traceEvents", [])
+    # find the device pid and its "XLA Ops" tid
+    dev_pid = None
+    for e in all_evs:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            if "TPU" in e["args"]["name"] or "device:" in e["args"]["name"]:
+                dev_pid = e["pid"]
+    ops_tid = None
+    for e in all_evs:
+        if (
+            e.get("ph") == "M"
+            and e.get("name") == "thread_name"
+            and e.get("pid") == dev_pid
+            and e["args"]["name"] == "XLA Ops"
+        ):
+            ops_tid = e["tid"]
+    evs = [
+        e
+        for e in all_evs
+        if e.get("ph") == "X" and e.get("pid") == dev_pid and e.get("tid") == ops_tid
+    ]
+    evs.sort(key=lambda e: (e["ts"], -e["dur"]))
+
+    stack: list = []  # (end_ts, name, module, category)
+    self_op = collections.Counter()
+    self_mod = collections.Counter()
+    self_cat = collections.Counter()
+    args_of: dict = {}
+    for e in evs:
+        while stack and stack[-1][0] <= e["ts"] + 1e-9:
+            stack.pop()
+        if stack:
+            _, pn, pm, pc = stack[-1]
+            self_op[pn] -= e["dur"]
+            self_mod[pm] -= e["dur"]
+            self_cat[pc] -= e["dur"]
+        a = e.get("args") or {}
+        mod = _module_of(a.get("tf_op", "?"))
+        cat = a.get("hlo_category", "?")
+        self_op[e["name"]] += e["dur"]
+        self_mod[mod] += e["dur"]
+        self_cat[cat] += e["dur"]
+        args_of.setdefault(e["name"], a)
+        stack.append((e["ts"] + e["dur"], e["name"], mod, cat))
+
+    total = sum(self_op.values())
+    print(f"total device self time: {total/1e3:.2f} ms  ({total/frames/1e3:.3f} ms/frame)")
+    print("\n-- by HLO category --")
+    for c, d in self_cat.most_common(15):
+        print(f"{d/1e3:9.2f} ms {100*d/total:5.1f}%  {c}")
+    print("\n-- by module --")
+    for m, d in self_mod.most_common(20):
+        print(f"{d/1e3:9.2f} ms {100*d/total:5.1f}%  {m[:110]}")
+    print(f"\n-- top {top} ops (self) --")
+    for n, d in self_op.most_common(top):
+        a = args_of.get(n, {})
+        print(f"{d/1e3:9.2f} ms {100*d/total:5.1f}%  {n[:40]:40s} {a.get('tf_op','')[-90:]}")
+    summary = {
+        "total_ms": total / 1e3,
+        "ms_per_frame": total / frames / 1e3,
+        "by_category": {c: d / 1e3 for c, d in self_cat.most_common()},
+        "by_module": {m: d / 1e3 for m, d in self_mod.most_common(25)},
+        "top_ops": [
+            {"name": n, "ms": d / 1e3, "tf_op": args_of.get(n, {}).get("tf_op", "")}
+            for n, d in self_op.most_common(top)
+        ],
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--out", default="/tmp/prop_trace")
+    ap.add_argument("--analyze-only", action="store_true")
+    ap.add_argument("--top", type=int, default=30)
+    args = ap.parse_args()
+    if not args.analyze_only:
+        capture(args.out, args.frames)
+    analyze(args.out, args.top, args.frames)
