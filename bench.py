@@ -59,6 +59,7 @@ def main():
             jnp.asarray(state.num_frames - 1),
             num_frames=state.num_frames,
             reverse=False,
+            max_cond_slots=1,  # single prompted frame (what propagate_in_video derives)
         )
         # force TRUE completion with a host fetch — block_until_ready alone can
         # return early through remote-TPU tunnels

@@ -59,6 +59,7 @@ def capture(out_dir: str, num_frames: int) -> None:
             jnp.asarray(state.num_frames - 1),
             num_frames=state.num_frames,
             reverse=False,
+            max_cond_slots=1,
         )
         np.asarray(lows[-1, 0, :2, :2])  # host fetch => true completion
 

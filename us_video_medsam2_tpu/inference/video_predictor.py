@@ -100,11 +100,12 @@ class SAM2VideoPredictor:
         )
         self._finalize = jax.jit(self._finalize_impl)
         self._propagate = jax.jit(
-            self._propagate_impl, static_argnames=("num_frames", "reverse")
+            self._propagate_impl,
+            static_argnames=("num_frames", "reverse", "max_cond_slots"),
         )
         self._propagate_chunk = jax.jit(
             self._propagate_chunk_impl,
-            static_argnames=("chunk_len", "num_frames", "reverse"),
+            static_argnames=("chunk_len", "num_frames", "reverse", "max_cond_slots"),
         )
         self._to_video_res = jax.jit(self._to_video_res_impl, static_argnames=("hw",))
 
@@ -123,6 +124,9 @@ class SAM2VideoPredictor:
         if images.dtype == jnp.uint8:
             images = preprocess_images(images, self.cfg.image_size)
         t = images.shape[0]
+        # fold to the trunk's preferred layout ONCE (e.g. Hiera space-to-depth)
+        # so the per-frame tracking scan skips the patch-embed relayout
+        images = jax.jit(self.model.prepare_images)(images)
         hw = self.cfg.feat_size**2
         bank = init_memory_bank(
             max_objects, t, hw, self.cfg.mem_dim, self.cfg.hidden_dim,
@@ -223,7 +227,8 @@ class SAM2VideoPredictor:
         return bank
 
     def _propagate_chunk_impl(
-        self, params, images, bank, start_idx, end_idx, chunk_start, *, chunk_len, num_frames, reverse
+        self, params, images, bank, start_idx, end_idx, chunk_start, *, chunk_len,
+        num_frames, reverse, max_cond_slots=None,
     ):
         """Scan a window of `chunk_len` processing positions beginning at the
         (traced) position chunk_start — streaming propagation: one compiled
@@ -247,7 +252,8 @@ class SAM2VideoPredictor:
                 out, _ = self.model.apply(
                     params, t, feats, bank, num_frames,
                     multimask_output=True, track_in_reverse=reverse,
-                    write_bank=False, method=self.model.track_step,
+                    write_bank=False, max_cond_slots=max_cond_slots,
+                    method=self.model.track_step,
                 )
                 return (
                     out["maskmem"].astype(bank.maskmem.dtype),
@@ -294,7 +300,8 @@ class SAM2VideoPredictor:
         return bank, outs
 
     def _propagate_impl(
-        self, params, images, bank, start_idx, end_idx, *, num_frames, reverse
+        self, params, images, bank, start_idx, end_idx, *, num_frames, reverse,
+        max_cond_slots=None,
     ):
         cfg = self.cfg
         o = bank.maskmem.shape[0]
@@ -342,6 +349,7 @@ class SAM2VideoPredictor:
                     multimask_output=True,
                     track_in_reverse=reverse,
                     write_bank=False,
+                    max_cond_slots=max_cond_slots,
                     method=self.model.track_step,
                 )
                 low = out["low_res_masks"][:, 0]  # [O, 4fs, 4fs]
@@ -571,6 +579,10 @@ class SAM2VideoPredictor:
             end = min(t0 + (max_frame_num_to_track or nf), nf - 1)
             order = range(t0, end + 1)
         hw = (state.video_height, state.video_width)
+        # exact specialization: with N prompted frames only N cond slots can
+        # ever be valid, so shrink the static slot count (fewer memory-attention
+        # keys; the selection math is unchanged for the slots that remain)
+        mcs = max(1, min(self.cfg.max_cond_frame_slots, len(cond_frames)))
 
         def emit(t, low):
             video = self._to_video_res(jnp.asarray(low), hw=hw)
@@ -585,6 +597,7 @@ class SAM2VideoPredictor:
                 jnp.asarray(end),
                 num_frames=nf,
                 reverse=reverse,
+                max_cond_slots=mcs,
             )
             state.bank = bank
             lows_np = np.asarray(lows)  # scan order
@@ -612,6 +625,7 @@ class SAM2VideoPredictor:
                 chunk_len=chunk_size,
                 num_frames=nf,
                 reverse=reverse,
+                max_cond_slots=mcs,
             )
             lows_np, ran_np, ts_np = np.asarray(lows), np.asarray(ran), np.asarray(ts)
             covered = {int(ts_np[i]): i for i in range(chunk_size)}

@@ -91,6 +91,7 @@ def select_memories(
     num_frames: int,
     track_in_reverse: bool = False,
     is_training: bool = False,
+    max_cond_slots: int | None = None,
 ) -> MemorySelection:
     """Reproduces the reference's memory-frame selection as a static gather plan.
 
@@ -98,10 +99,18 @@ def select_memories(
     sam2_base.py:1308-1342; conditioning slots are the K temporally-closest
     conditioning frames (sam2_utils.py:19-61 with max_cond_frames_in_attn ≈ K);
     pointer slots follow sam2_base.py:1360-1422.
+
+    max_cond_slots overrides cfg.max_cond_frame_slots: when the caller knows the
+    session holds fewer conditioning frames than the config cap (e.g. a single
+    prompted frame), shrinking K is exact — the extra slots could never be valid
+    — and removes their keys from every memory-attention matmul.
     """
     B = bank.maskmem.shape[0]
     S = bank.num_slots
-    K = min(cfg.max_cond_frame_slots, S)
+    K = min(
+        cfg.max_cond_frame_slots if max_cond_slots is None else max_cond_slots, S
+    )
+    K = max(K, 1)
     R = cfg.num_maskmem - 1
     frame_idx = jnp.asarray(frame_idx, jnp.int32)
     sign = -1 if track_in_reverse else 1

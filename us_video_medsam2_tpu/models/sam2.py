@@ -151,6 +151,29 @@ class SAM2Model(nn.Module):
         return o
 
     # ------------------------------------------------------------------ images
+    def prepare_images(self, images: jnp.ndarray) -> jnp.ndarray:
+        """Pre-fold frames into the trunk's preferred input layout.
+
+        For the Hiera trunk this is a one-time space-to-depth by the patch
+        stride (ops/window.space_to_depth) so the patch-embed relayout is not
+        paid once per frame inside the tracking scan; identity otherwise.
+        forward_image accepts both raw and folded inputs.
+        """
+        c = self.cfg
+        hc = c.hiera
+        if (
+            hc is not None
+            and images.shape[-1] == 3
+            and hc.patch_kernel <= 2 * hc.patch_stride
+            and hc.patch_padding == hc.patch_kernel // 2
+            and images.shape[-2] % hc.patch_stride == 0
+            and images.shape[-3] % hc.patch_stride == 0
+        ):
+            from us_video_medsam2_tpu.ops.window import space_to_depth
+
+            return space_to_depth(images, hc.patch_stride)
+        return images
+
     def forward_image(
         self,
         images: jnp.ndarray,
@@ -190,13 +213,15 @@ class SAM2Model(nn.Module):
         track_in_reverse: bool = False,
         is_training: bool = False,
         deterministic: bool = True,
+        max_cond_slots: Optional[int] = None,
     ) -> jnp.ndarray:
         """Cross-attend the current frame to the memory bank (sam2_base.py:1271-1448)."""
         c = self.cfg
         b, h, w, ch = curr_feat.shape
         hw = h * w
         sel = select_memories(
-            bank, frame_idx, c, num_frames, track_in_reverse, is_training
+            bank, frame_idx, c, num_frames, track_in_reverse, is_training,
+            max_cond_slots=max_cond_slots,
         )
         mem, ptrs = gather_memories(bank, sel)  # [B,M,HWm,md], [B,P,C]
         B, M, HWm, md = mem.shape
@@ -483,6 +508,7 @@ class SAM2Model(nn.Module):
         run_mem_encoder: bool = True,
         write_bank: bool = True,
         deterministic: bool = True,
+        max_cond_slots: Optional[int] = None,
     ):
         """One tracking step (reference sam2_base.py:1586-1651). All flags static.
 
@@ -512,6 +538,7 @@ class SAM2Model(nn.Module):
                     track_in_reverse,
                     is_training,
                     deterministic,
+                    max_cond_slots=max_cond_slots,
                 )
             mi = prev_sam_mask_logits if prev_sam_mask_logits is not None else (
                 mask_inputs

@@ -98,11 +98,17 @@ def apply_rope(
     orig_dtype = x.dtype
     L = x.shape[-2]
     if repeat_to_len is not None and cos.shape[0] != repeat_to_len:
+        # broadcast over repeated slots instead of materializing tiled tables:
+        # view [..., r*L0, dim] as [..., r, L0, dim] (free reshape — slots are
+        # contiguous) and let the [L0, dim//2] tables broadcast. Measured ~25%
+        # faster than jnp.tile on the memory-attention K path (v5e).
         r = repeat_to_len // cos.shape[0]
-        cos = jnp.tile(cos, (r, 1))
-        sin = jnp.tile(sin, (r, 1))
-    assert cos.shape[0] == L, f"rope table len {cos.shape[0]} != seq len {L}"
-    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
+        l0 = cos.shape[0]
+        assert r * l0 == L, f"rope repeat {r}x{l0} != seq len {L}"
+        xf = x.astype(jnp.float32).reshape(*x.shape[:-2], r, l0, -1, 2)
+    else:
+        assert cos.shape[0] == L, f"rope table len {cos.shape[0]} != seq len {L}"
+        xf = x.astype(jnp.float32).reshape(*x.shape[:-1], -1, 2)
     x0, x1 = xf[..., 0], xf[..., 1]
     out0 = x0 * cos - x1 * sin
     out1 = x0 * sin + x1 * cos

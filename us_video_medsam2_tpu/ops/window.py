@@ -36,3 +36,19 @@ def window_unpartition(
     if hp > h or wp > w:
         x = x[:, :h, :w, :]
     return x
+
+
+def space_to_depth(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """[..., H, W, C] -> [..., H/s, W/s, s*s*C], cell order (ri, rj, c).
+
+    Used to pre-fold video frames once (outside the per-frame tracking scan) so
+    the Hiera patch embed's s2d relayout is not paid per frame — the fold is the
+    only layout-changing step of the patch-embed matmul formulation.
+    """
+    *b, h, w, c = x.shape
+    n, m = h // s, w // s
+    x = x.reshape(*b, n, s, m, s, c)
+    perm = tuple(range(len(b))) + tuple(
+        len(b) + i for i in (0, 2, 1, 3, 4)
+    )
+    return x.transpose(*perm).reshape(*b, n, m, s * s * c)
