@@ -1,0 +1,182 @@
+"""Fused LayerNorm -> MLP -> residual Pallas TPU kernel.
+
+The trunk's transformer-block tail (LN, Dense(4d), GELU, Dense(d), +residual —
+reference sam2/modeling/backbones/hieradet.py:158-166) is bandwidth-bound under
+XLA: the LN output, the 4d hidden, and the activation are each written to and
+re-read from HBM (~6x the minimum traffic; measured ~0.6 ms/frame of the 512^2
+propagation step). This kernel streams token tiles through VMEM: per tile it
+reads x once, computes the f32 LN statistics, both matmuls and the activation
+in VMEM, and writes only the residual-added output.
+
+Numerics match the XLA module path at bf16: f32 LN statistics, bf16 matmul
+inputs with f32 MXU accumulation rounded back to bf16 between layers, exact
+(erf) GELU evaluated in f32. Used only when dtype is bf16 on TPU; every call
+site keeps the XLA fallback (models/layers.py MLP) and parity is tested in
+interpret mode in tests/test_fused_mlp.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf_pallas(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7 in f32) — Pallas TPU
+    has no erf lowering; this is below bf16 resolution (2^-8) so the fused path
+    stays numerically indistinguishable from the exact-GELU module path."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _act_f32(name: str, x, *, in_kernel: bool = False):
+    if name == "gelu":
+        # exact erf GELU (torch nn.GELU default — load-bearing for parity)
+        erf = _erf_pallas if in_kernel else jax.lax.erf
+        return x * 0.5 * (1.0 + erf(x * (2.0**-0.5)))
+    if name == "relu":
+        return jnp.maximum(x, 0.0)
+    raise ValueError(name)
+
+
+def _kernel(
+    x_ref,  # [TN, D] bf16
+    g_ref,  # [1, D] f32   LN scale
+    b_ref,  # [1, D] f32   LN bias
+    w1_ref,  # [D, F]
+    b1_ref,  # [1, F] f32
+    w2_ref,  # [F, D]
+    b2_ref,  # [1, D] f32
+    out_ref,  # [TN, D]
+    *,
+    eps: float,
+    act: str,
+):
+    x = x_ref[:]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[0, :] + b_ref[0, :]
+    y = y.astype(x_ref.dtype)  # module casts LN out to compute dtype
+
+    h = jax.lax.dot_general(
+        y, w1_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    h = h + b1_ref[0, :]
+    # flax Dense rounds the f32 accumulator to the output dtype, and the
+    # activation is evaluated on those rounded values (in f32 internally)
+    h = _act_f32(
+        act, h.astype(x_ref.dtype).astype(jnp.float32), in_kernel=True
+    ).astype(x_ref.dtype)
+    o = jax.lax.dot_general(
+        h, w2_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o = o + b2_ref[0, :]
+    out_ref[:] = x + o.astype(x_ref.dtype)
+
+
+def _run(x, gamma, beta, w1, b1, w2, b2, *, eps, act, block_n, interpret=False):
+    n, d = x.shape
+    f = w1.shape[1]
+    pad = (-n) % block_n
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    np_ = xp.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_kernel, eps=eps, act=act),
+        grid=(np_ // block_n,),
+        in_specs=[
+            pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * np_ * d * f,
+            bytes_accessed=(2 * x.size + 2 * d * f) * x.dtype.itemsize,
+            transcendentals=np_ * f,
+        ),
+        interpret=interpret,
+    )(
+        xp,
+        gamma.reshape(1, d).astype(jnp.float32),
+        beta.reshape(1, d).astype(jnp.float32),
+        w1.astype(x.dtype),
+        b1.reshape(1, f).astype(jnp.float32),
+        w2.astype(x.dtype),
+        b2.reshape(1, d).astype(jnp.float32),
+    )
+    return out[:n] if pad else out
+
+
+def ln_mlp_residual_available(n: int, d: int, f: int, dtype) -> bool:
+    """TPU, bf16, lane-aligned dims, weights + hidden tile fitting VMEM."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+    weight_bytes = 2 * d * f * 2
+    return (
+        on_tpu
+        and dtype == jnp.bfloat16
+        and f % 128 == 0
+        and n >= 256
+        and weight_bytes <= 6 * 2**20
+    )
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9)
+)
+def ln_mlp_residual(x, gamma, beta, w1, b1, w2, b2, eps, act, block_n):
+    """out = x + Dense2(act(Dense1(LN(x)))) over [N, D] tokens (forward: Pallas;
+    backward: XLA recompute of the same math)."""
+    return _run(x, gamma, beta, w1, b1, w2, b2, eps=eps, act=act, block_n=block_n)
+
+
+def _xla_ref(x, gamma, beta, w1, b1, w2, b2, eps, act):
+    """Same math in XLA (used for the VJP and as the numerical reference)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * gamma + beta).astype(x.dtype)
+    h = jnp.dot(y, w1.astype(x.dtype), preferred_element_type=jnp.float32)
+    h = (h + b1).astype(x.dtype)
+    hf = h.astype(jnp.float32)
+    h = _act_f32(act, hf).astype(x.dtype)
+    o = jnp.dot(h, w2.astype(x.dtype), preferred_element_type=jnp.float32)
+    o = (o + b2).astype(x.dtype)
+    return x + o
+
+
+def _fwd(x, gamma, beta, w1, b1, w2, b2, eps, act, block_n):
+    out = _run(x, gamma, beta, w1, b1, w2, b2, eps=eps, act=act, block_n=block_n)
+    return out, (x, gamma, beta, w1, b1, w2, b2)
+
+
+def _bwd(eps, act, block_n, res, g):
+    x, gamma, beta, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda *a: _xla_ref(*a, eps=eps, act=act), x, gamma, beta, w1, b1, w2, b2
+    )
+    return vjp(g)
+
+
+ln_mlp_residual.defvjp(_fwd, _bwd)

@@ -20,6 +20,10 @@ import jax
 import jax.numpy as jnp
 
 from us_video_medsam2_tpu.core.config import HieraConfig
+from us_video_medsam2_tpu.kernels.fused_mlp import (
+    ln_mlp_residual,
+    ln_mlp_residual_available,
+)
 from us_video_medsam2_tpu.models.layers import MLP, DropPath, LayerNorm, gelu_exact
 from us_video_medsam2_tpu.ops.attention import sdpa
 from us_video_medsam2_tpu.ops.resize import resize2d
@@ -193,15 +197,40 @@ class MultiScaleBlock(nn.Module):
 
         dp = DropPath(self.drop_path, name="drop_path")
         x = shortcut + dp(x, deterministic)
-        y = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm2")(x)
-        y = MLP(
-            hidden_dim=int(self.dim_out * self.mlp_ratio),
+
+        hidden = int(self.dim_out * self.mlp_ratio)
+        norm2 = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm2")
+        mlp = MLP(
+            hidden_dim=hidden,
             output_dim=self.dim_out,
             num_layers=2,
             activation=gelu_exact,
             dtype=self.dtype,
             name="mlp",
-        )(y)
+        )
+        n_tok = x.shape[0] * x.shape[1] * x.shape[2]
+        use_fused = (
+            not self.is_initializing()
+            and (deterministic or self.drop_path == 0.0)
+            and ln_mlp_residual_available(n_tok, self.dim_out, hidden, self.dtype)
+        )
+        if use_fused:
+            # same params, same math, one Pallas pass (kernels/fused_mlp.py)
+            p = self.variables["params"]
+            out = ln_mlp_residual(
+                x.reshape(n_tok, self.dim_out),
+                p["norm2"]["scale"],
+                p["norm2"]["bias"],
+                p["mlp"]["layers_0"]["kernel"],
+                p["mlp"]["layers_0"]["bias"],
+                p["mlp"]["layers_1"]["kernel"],
+                p["mlp"]["layers_1"]["bias"],
+                1e-6,
+                "gelu",
+                256,
+            )
+            return out.reshape(x.shape)
+        y = mlp(norm2(x))
         return x + dp(y, deterministic)
 
 
