@@ -135,3 +135,95 @@ def test_window_partition_roundtrip():
     assert wins.shape[1:] == (7, 7, 8)
     back = window_unpartition(wins, 7, pad_hw, (18, 22))
     np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=0)
+
+
+@pytest.mark.parametrize(
+    "h,cin,co,k,s,pad",
+    [
+        (64, 1, 4, 3, 2, 1),    # MaskDownSampler first layer shape family
+        (32, 4, 16, 3, 2, 1),
+        (16, 16, 64, 3, 2, 1),
+        (64, 3, 8, 7, 4, 3),    # patch-embed family
+        (32, 8, 16, 2, 2, 0),   # prompt-encoder mask downscale (pure fold)
+        (32, 1, 4, 4, 4, 0),    # sam2 mask_downsample (pure fold)
+    ],
+)
+def test_s2d_conv_matches_lax_conv(h, cin, co, k, s, pad):
+    """ops/conv_matmul.py must be numerically identical to the XLA conv it
+    replaces inside Conv2d (torch Conv2d semantics)."""
+    import jax
+
+    from us_video_medsam2_tpu.ops.conv_matmul import s2d_conv, s2d_conv_applicable
+
+    assert s2d_conv_applicable(k, k, s, pad, h, h, 1)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, h, h, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, k, cin, co)) / np.sqrt(k * k * cin))
+    b = jnp.asarray(rng.standard_normal((co,)) * 0.1)
+    got = s2d_conv(x, w, b, s, pad)
+    want = (
+        jax.lax.conv_general_dilated(
+            x, w, (s, s), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        + b
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("h,c,k", [(16, 32, 7), (12, 8, 3)])
+def test_depthwise_shifted_matches_lax_conv(h, c, k):
+    import jax
+
+    from us_video_medsam2_tpu.ops.conv_matmul import depthwise_conv_shifted
+
+    rng = np.random.default_rng(1)
+    pad = k // 2
+    x = jnp.asarray(rng.standard_normal((2, h, h, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, k, 1, c)) / k)
+    b = jnp.asarray(rng.standard_normal((c,)) * 0.1)
+    got = depthwise_conv_shifted(x, w, b, pad)
+    want = (
+        jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+        + b
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_rope_halfsplit_equivalent_to_interleaved():
+    """halfsplit(P x) == P(interleaved(x)) for the importer's channel
+    permutation P, and the q.k inner product is preserved."""
+    from us_video_medsam2_tpu.ops.posenc import (
+        apply_rope,
+        apply_rope_halfsplit,
+        compute_axial_rope,
+        rope_halfsplit_perm,
+    )
+
+    rng = np.random.default_rng(3)
+    heads, dh, hw = 2, 32, 4
+    cos, sin = compute_axial_rope(dh, hw, hw, 10000.0)
+    x = jnp.asarray(rng.standard_normal((1, heads, hw * hw, dh)), jnp.float32)
+    perm = rope_halfsplit_perm(heads * dh, heads)
+    # per-head slice of the flat permutation
+    ph = perm[:dh]
+    got = apply_rope_halfsplit(x[..., :] [..., ph - 0], cos, sin)  # permute channels
+    want = apply_rope(x, cos, sin)[..., ph]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+    # inner products preserved between permuted-rotated q/k pairs
+    q = jnp.asarray(rng.standard_normal((1, 1, hw * hw, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 1, hw * hw, dh)), jnp.float32)
+    p0 = rope_halfsplit_perm(dh, 1)
+    qh = apply_rope_halfsplit(q[..., p0], cos, sin)
+    kh = apply_rope_halfsplit(k[..., p0], cos, sin)
+    qi = apply_rope(q, cos, sin)
+    ki = apply_rope(k, cos, sin)
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("bhqd,bhkd->bhqk", qh, kh)),
+        np.asarray(jnp.einsum("bhqd,bhkd->bhqk", qi, ki)),
+        rtol=1e-5, atol=1e-5,
+    )

@@ -38,10 +38,25 @@ def _put(out: Dict, path: str, value: np.ndarray):
     out[tuple(path.split("/"))] = np.asarray(value)
 
 
-def _map_attention(out, prefix_t, prefix_j, sd):
+def _map_attention(out, prefix_t, prefix_j, sd, rope_heads: int = 0):
+    """rope_heads > 0 marks a RoPEAttention module: q/k projection output
+    channels are permuted from torch's interleaved RoPE-pair layout to the
+    half-split layout our apply_rope_halfsplit uses (ops/posenc.py) — q.k is
+    invariant since q and k get the same permutation."""
+    perm = None
+    if rope_heads:
+        from us_video_medsam2_tpu.ops.posenc import rope_halfsplit_perm
+
+        dim = sd[f"{prefix_t}.q_proj.weight"].shape[0]
+        perm = rope_halfsplit_perm(dim, rope_heads)
     for p in ("q_proj", "k_proj", "v_proj", "out_proj"):
-        _put(out, f"{prefix_j}/{p}/kernel", _lin(sd[f"{prefix_t}.{p}.weight"]))
-        _put(out, f"{prefix_j}/{p}/bias", sd[f"{prefix_t}.{p}.bias"])
+        kern = _lin(sd[f"{prefix_t}.{p}.weight"])
+        bias = sd[f"{prefix_t}.{p}.bias"]
+        if perm is not None and p in ("q_proj", "k_proj"):
+            kern = kern[:, perm]
+            bias = bias[perm]
+        _put(out, f"{prefix_j}/{p}/kernel", kern)
+        _put(out, f"{prefix_j}/{p}/bias", bias)
 
 
 def _map_mlp(out, prefix_t, prefix_j, sd, n_layers):
@@ -270,8 +285,12 @@ def convert_reference_state_dict(sd: Dict[str, np.ndarray], cfg) -> Dict:
     for i in ma_layers:
         t = f"memory_attention.layers.{i}"
         j = f"memory_attention/layers_{i}"
-        _map_attention(out, f"{t}.self_attn", f"{j}/self_attn", sd)
-        _map_attention(out, f"{t}.cross_attn_image", f"{j}/cross_attn_image", sd)
+        ma_heads = cfg.memory_attention.num_heads
+        _map_attention(out, f"{t}.self_attn", f"{j}/self_attn", sd, rope_heads=ma_heads)
+        _map_attention(
+            out, f"{t}.cross_attn_image", f"{j}/cross_attn_image", sd,
+            rope_heads=ma_heads,
+        )
         for n in ("norm1", "norm2", "norm3"):
             _map_norm(out, f"{t}.{n}", f"{j}/{n}", sd)
         for n in ("linear1", "linear2"):

@@ -36,15 +36,21 @@ def _flash_kernel(
     lk = k_ref.shape[0]
     num_kb = lk // block_k
 
-    q = q_ref[:].astype(jnp.float32) * scale
+    # matmul inputs stay in the activation dtype (bf16) with f32 MXU
+    # accumulation — identical numerics to ops/attention.py::sdpa and 4-8x the
+    # MXU rate of f32 operands; only softmax statistics are f32
+    q = q_ref[:]
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [BQ, BK]
+        k = k_ref[pl.ds(kb * block_k, block_k), :]
+        v = v_ref[pl.ds(kb * block_k, block_k), :]
+        s = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )  # [BQ, BK] f32
         mask = mask_ref[:, pl.ds(kb * block_k, block_k)]  # [1, BK]
         s = jnp.where(mask != 0, s, NEG_INF)
 
@@ -54,7 +60,8 @@ def _flash_kernel(
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1)
         acc = acc * alpha[:, None] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return acc, m_new, l_new
 
@@ -125,7 +132,7 @@ def flash_attention_masked(
     return out.reshape(b, h, lqp, d)[:, :, :lq0]
 
 
-def flash_attention_available(q_shape, k_shape) -> bool:
+def flash_attention_available(q_shape, k_shape, dtype=None) -> bool:
     """Whether the Pallas path applies: TPU backend, lane-aligned head dim, and
     K/V fitting comfortably in VMEM (current kernel keeps full K/V resident)."""
     try:
@@ -134,10 +141,13 @@ def flash_attention_available(q_shape, k_shape) -> bool:
         return False
     d = q_shape[-1]
     lk = k_shape[-2]
-    kv_bytes = 2 * lk * d * 4  # worst case f32
+    itemsize = jnp.dtype(dtype).itemsize if dtype is not None else 4
+    kv_bytes = 2 * lk * d * itemsize
     batch = q_shape[0] * q_shape[1]
-    # at batch 1 XLA is already at roofline for these shapes; the kernel wins
-    # 2-4x from batch 2 upward (multi-object tracking, batched prompts)
+    # batch 1 long-KV was A/B-tested in round 2: the kernel hits 73% MFU but
+    # XLA's fusions are already ~85% MFU there and the pad/reshape formatting
+    # around the call costs more than the fusion saves (bench 317 -> 299 FPS);
+    # it wins only from batch 2 upward (multi-object tracking, batched prompts)
     return (
         on_tpu
         and batch >= 2

@@ -85,8 +85,72 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
+class _S2DConv(nn.Module):
+    """Strided conv as space-to-depth + one MXU matmul (ops/conv_matmul.py).
+    Param names/shapes identical to nn.Conv so checkpoints are unaffected."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    stride: int
+    padding: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from us_video_medsam2_tpu.ops.conv_matmul import s2d_conv
+
+        kh, kw = self.kernel_size
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return s2d_conv(x, w, b, self.stride, self.padding, dtype=self.dtype)
+
+
+class _DepthwiseConv(nn.Module):
+    """Same-padding stride-1 depthwise conv as shifted multiply-accumulates
+    (ops/conv_matmul.py::depthwise_conv_shifted). Param names/shapes identical
+    to nn.Conv(feature_group_count=C)."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    padding: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from us_video_medsam2_tpu.ops.conv_matmul import depthwise_conv_shifted
+
+        kh, kw = self.kernel_size
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, 1, self.features),
+            jnp.float32,
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return depthwise_conv_shifted(x, w, b, self.padding, dtype=self.dtype)
+
+
 class Conv2d(nn.Module):
-    """NHWC conv with torch-compatible explicit padding."""
+    """NHWC conv with torch-compatible explicit padding.
+
+    Strided small-kernel convs (k <= 2s, pad = k//2) lower to a space-to-depth
+    matmul instead of XLA's conv — the memory encoder's tiny-channel mask
+    pyramid is ~20x faster that way on TPU (see ops/conv_matmul.py)."""
 
     features: int
     kernel_size: int | tuple[int, int]
@@ -98,11 +162,30 @@ class Conv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from us_video_medsam2_tpu.ops.conv_matmul import s2d_conv_applicable
+
         ks = (
             self.kernel_size
             if isinstance(self.kernel_size, tuple)
             else (self.kernel_size, self.kernel_size)
         )
+        if s2d_conv_applicable(
+            ks[0], ks[1], self.stride, self.padding,
+            x.shape[1], x.shape[2], self.groups,
+        ):
+            return _S2DConv(
+                self.features, ks, self.stride, self.padding,
+                use_bias=self.use_bias, dtype=self.dtype, name="conv",
+            )(x)
+        if (
+            self.groups == x.shape[-1] == self.features
+            and self.stride == 1
+            and self.padding == ks[0] // 2 == ks[1] // 2
+        ):
+            return _DepthwiseConv(
+                self.features, ks, self.padding,
+                use_bias=self.use_bias, dtype=self.dtype, name="conv",
+            )(x)
         return nn.Conv(
             self.features,
             ks,

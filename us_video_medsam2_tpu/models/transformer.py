@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from us_video_medsam2_tpu.models.layers import MLP
 from us_video_medsam2_tpu.ops.attention import sdpa
-from us_video_medsam2_tpu.ops.posenc import apply_rope
+from us_video_medsam2_tpu.ops.posenc import apply_rope_halfsplit
 
 
 class Attention(nn.Module):
@@ -96,21 +96,30 @@ class RoPEAttention(nn.Module):
         v = nn.Dense(internal_dim, dtype=self.dtype, name="v_proj")(v)
         q, k, v = self._heads(q), self._heads(k), self._heads(v)
 
-        q = apply_rope(q, rope_cos, rope_sin)
+        # Half-split RoPE (q/k projections are channel-permuted by the importer,
+        # ops/posenc.py::rope_halfsplit_perm): key tables are tiled over repeated
+        # memory slots and identity-extended (cos=1, sin=0) over object-pointer
+        # tokens, so there is no per-layer slice+concat of the key tensor — the
+        # extended tables are layer-invariant and CSE'd across the stack.
+        q = apply_rope_halfsplit(q, rope_cos, rope_sin)
         lk = k.shape[-2]
         n_rope = lk if rope_k_len is None else rope_k_len
-        if n_rope == lk:
-            k = apply_rope(
-                k, rope_cos, rope_sin, repeat_to_len=lk if rope_k_repeat else None
-            )
+        l0 = rope_cos.shape[0]
+        if n_rope == lk and not rope_k_repeat:
+            cos_k, sin_k = rope_cos, rope_sin
         else:
-            k_rot = apply_rope(
-                k[:, :, :n_rope],
-                rope_cos,
-                rope_sin,
-                repeat_to_len=n_rope if rope_k_repeat else None,
-            )
-            k = jnp.concatenate([k_rot, k[:, :, n_rope:]], axis=-2)
+            reps = n_rope // l0
+            cos_k = jnp.tile(rope_cos, (reps, 1)) if reps > 1 else rope_cos
+            sin_k = jnp.tile(rope_sin, (reps, 1)) if reps > 1 else rope_sin
+            if n_rope < lk:
+                d2 = cos_k.shape[1]
+                cos_k = jnp.concatenate(
+                    [cos_k, jnp.ones((lk - n_rope, d2), cos_k.dtype)]
+                )
+                sin_k = jnp.concatenate(
+                    [sin_k, jnp.zeros((lk - n_rope, d2), sin_k.dtype)]
+                )
+        k = apply_rope_halfsplit(k, cos_k, sin_k)
 
         if landmark_pool > 1 and n_rope > q.shape[-2]:
             out = self._landmark_attention(

@@ -45,7 +45,7 @@ def sdpa(
             flash_attention_available,
         )
 
-        if flash_attention_available(q.shape, k.shape):
+        if flash_attention_available(q.shape, k.shape, k.dtype):
             return flash_attention(q, k, v, key_mask)
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32

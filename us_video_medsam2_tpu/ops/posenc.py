@@ -114,3 +114,44 @@ def apply_rope(
     out1 = x0 * sin + x1 * cos
     out = jnp.stack([out0, out1], axis=-1).reshape(x.shape)
     return out.astype(orig_dtype)
+
+
+def rope_halfsplit_perm(dim: int, n_heads: int):
+    """Permutation of projection output channels turning torch's interleaved
+    RoPE pairs (2j, 2j+1) into half-split form (j, d/2+j) per head.
+
+    q.k is permutation-invariant when q_proj and k_proj are permuted together,
+    so applying this to imported q/k projection weights lets `apply_rope` use
+    contiguous half-slices instead of stride-2 lane shuffles — the interleaved
+    even/odd lane selection costs ~1ms/layer of relayout on v5e (round-2 trace,
+    docs/ROADMAP.md). Returns indices `perm` with new[:, i] = old[:, perm[i]].
+    """
+    import numpy as np
+
+    dh = dim // n_heads
+    perm = np.empty(dim, np.int64)
+    for h in range(n_heads):
+        base = h * dh
+        for j in range(dh // 2):
+            perm[base + j] = base + 2 * j
+            perm[base + dh // 2 + j] = base + 2 * j + 1
+    return perm
+
+
+def apply_rope_halfsplit(
+    x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+) -> jnp.ndarray:
+    """RoPE in half-split channel layout: rotates (x[..., j], x[..., d/2+j])
+    pairs. Requires projections permuted by `rope_halfsplit_perm` (done by the
+    torch importer); numerically equivalent to `apply_rope` modulo that
+    permutation, but lowers to two contiguous lane slices + elementwise math.
+    Computes in x.dtype (f32 models stay exact; bf16 avoids f32 round-trips).
+
+    x: [..., L, dim]; cos/sin: [L, dim//2] (length-matched; tile/extend for
+    repeated or unrotated keys before calling)."""
+    d2 = x.shape[-1] // 2
+    cos = cos.astype(x.dtype)
+    sin = sin.astype(x.dtype)
+    x0 = x[..., :d2]
+    x1 = x[..., d2:]
+    return jnp.concatenate([x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
