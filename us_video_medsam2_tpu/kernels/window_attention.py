@@ -23,6 +23,13 @@ softmax exactly like the reference (hieradet pads with zeros and does not mask).
 
 Backward = XLA recompute of the same math via custom_vjp (the trunk is
 remat'd in training anyway, so only the forward is hot).
+
+STATUS: A/B-tested on v5e and NOT wired into the model — XLA's batched-window
+einsums (one dot over all 256 windows) beat this kernel's per-window
+serialization 607us vs 1979us per frame across the 8 t512 block geometries
+(docs/ROADMAP.md round-2 outcomes). Kept because the fused form wins when
+window counts are small and weights are large (future bigger-backbone configs)
+and as the reference implementation for _xla_ref's layout.
 """
 
 from __future__ import annotations
