@@ -202,6 +202,50 @@ def gen_temporal_fusion_fixtures():
     print("wrote", OUT / "temporal_fusion.npz")
 
 
+def gen_efficient_rope_fixture():
+    """Golden fixture for EfficientTAM's landmark-pooled cross-attention
+    (reference efficient_track_anything/modeling/sam/transformer.py:317-425,
+    EfficientRoPEAttention1): rotated spatial K/V avg-pooled 2x per memory
+    slot with +2*log(2) logit bias, object-pointer keys unpooled/unrotated."""
+    from efficient_track_anything.modeling.sam.transformer import (
+        EfficientRoPEAttention1,
+    )
+
+    dim, heads, kv_dim, hw, n_slots, n_ptr = 64, 1, 16, 16, 3, 8
+    mod = EfficientRoPEAttention1(
+        embedding_dim=dim,
+        num_heads=heads,
+        downsample_rate=1,
+        dropout=0.1,
+        kv_in_dim=kv_dim,
+        rope_theta=10000.0,
+        rope_k_repeat=True,
+        feat_sizes=(hw, hw),
+    )
+    gen = torch.Generator().manual_seed(99)
+    with torch.no_grad():
+        for _, p in sorted(mod.named_parameters()):
+            p.copy_(torch.randn(p.shape, generator=gen) * (1.0 / p.shape[-1] ** 0.5))
+    mod.eval()
+
+    rng = np.random.default_rng(11)
+    lq = hw * hw
+    q = rng.standard_normal((1, lq, dim)).astype(np.float32) * 0.5
+    k = rng.standard_normal((1, n_slots * lq + n_ptr, kv_dim)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        out = mod(
+            torch.from_numpy(q),
+            torch.from_numpy(k.copy()),
+            torch.from_numpy(k.copy()),
+            num_k_exclude_rope=n_ptr,
+        )
+    data = {"q": q, "k": k, "out": out.numpy(), "n_ptr": np.array(n_ptr)}
+    for key, val in mod.state_dict().items():
+        data[f"sd.{key}"] = val.detach().float().numpy()
+    np.savez_compressed(OUT / "efficient_rope1.npz", **data)
+    print("wrote", OUT / "efficient_rope1.npz")
+
+
 def main():
     install_reference_packages()
     model = build_mini_sam2()
@@ -348,6 +392,10 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "fusion":
         install_reference_packages()
         gen_temporal_fusion_fixtures()
+    elif len(sys.argv) > 1 and sys.argv[1] == "efficient_rope":
+        install_reference_packages()
+        gen_efficient_rope_fixture()
     else:
         main()
         gen_temporal_fusion_fixtures()
+        gen_efficient_rope_fixture()
