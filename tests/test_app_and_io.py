@@ -113,3 +113,78 @@ def test_coco_rle_decode_compressed_string():
         counts = [0] + counts
     rle = {"size": [9, 11], "counts": encode_counts(counts).decode()}
     np.testing.assert_array_equal(decode_coco_rle(rle), m)
+
+
+def test_session_manager_reaper():
+    """Idle sessions are dropped after max_idle_s (reference app.py:408-450
+    child-process reaper, recast as state eviction)."""
+    import time
+
+    from us_video_medsam2_tpu.apps.app import SessionManager
+
+    mgr = SessionManager(max_idle_s=0.2)
+    mgr.put("a", object())
+    mgr.put("b", object())
+    assert len(mgr) == 2
+    mgr.get("a")  # touch
+    assert mgr.reap(now=time.monotonic()) == []  # nothing idle yet
+    time.sleep(0.3)
+    dead = mgr.reap()
+    assert sorted(dead) == ["a", "b"]
+    assert len(mgr) == 0
+    # close() is idempotent
+    mgr.put("c", object())
+    mgr.close("c")
+    mgr.close("c")
+    assert len(mgr) == 0
+
+
+def test_predictor_registry_caches(monkeypatch):
+    from us_video_medsam2_tpu.apps import app as app_mod
+    from us_video_medsam2_tpu.core import build as build_mod
+
+    calls = []
+
+    def fake_build(cfg, ckpt):
+        calls.append((cfg, ckpt))
+        return object()
+
+    monkeypatch.setattr(build_mod, "build_sam2_video_predictor", fake_build)
+    reg = app_mod.PredictorRegistry(
+        {"tiny": ("sam2.1_hiera_t512", None), "eff": ("efficienttam_ti_512", "x.pt")}
+    )
+    assert reg.names() == ["tiny", "eff"]
+    p1 = reg.get("tiny")
+    p2 = reg.get("tiny")
+    assert p1 is p2 and calls == [("sam2.1_hiera_t512", None)]
+    reg.get("eff")
+    assert calls[-1] == ("efficienttam_ti_512", "x.pt")
+
+
+def test_click_path_single_dispatch():
+    """The interactive click costs ONE device dispatch: the video-res upsample
+    is fused into the prompt jit, so the separate _to_video_res program must
+    not run (reference pays a fresh dispatch per click, app.py:143-178)."""
+    from tests.conftest import require_fixture
+    from tests.test_parity import MINI
+    from us_video_medsam2_tpu.core.import_torch import convert_reference_state_dict
+    from us_video_medsam2_tpu.inference.video_predictor import SAM2VideoPredictor
+    from us_video_medsam2_tpu.models.sam2 import SAM2Model
+
+    sd = dict(np.load(require_fixture("mini_state_dict.npz")))
+    params = convert_reference_state_dict(sd, MINI)
+    predictor = SAM2VideoPredictor(SAM2Model(MINI), params, fill_hole_area=0)
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((2, 256, 256, 3)).astype(np.float32)
+    state = predictor.init_state(images, 120, 100, max_objects=2)
+
+    def boom(*a, **k):  # noqa: ANN001
+        raise AssertionError("_to_video_res dispatched on the click path")
+
+    predictor._to_video_res = boom
+    fi, obj_ids, masks = predictor.add_new_points_or_box(
+        state, 0, 1, points=np.array([[20.0, 20.0]]), labels=np.array([1])
+    )
+    assert fi == 0 and obj_ids == [1]
+    assert masks.shape[0] == state.max_objects and masks.shape[1] == 1
+    assert np.isfinite(masks).all()

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
+import time
 import zipfile
 from typing import List, Optional, Tuple
 
@@ -104,7 +106,95 @@ class AnnotationSession:
         return mp4_path, zip_path
 
 
-def build_demo(checkpoint: Optional[str] = None, cfg: str = "sam2.1_hiera_t512"):
+class SessionManager:
+    """Per-session state registry with an idle reaper.
+
+    The reference app isolates each browser session in a child process and
+    kills it after an idle timeout (app.py:408-450); here sessions are
+    lightweight predictor states sharing one jitted model per config, so the
+    reaper just drops idle states (device buffers are freed with them)."""
+
+    def __init__(self, max_idle_s: float = 600.0, reap_every_s: float = 60.0):
+        self.max_idle_s = max_idle_s
+        self._lock = threading.Lock()
+        self._sessions: dict = {}
+        self._last_used: dict = {}
+        self._reap_every_s = reap_every_s
+        self._reaper: Optional[threading.Thread] = None
+
+    def start_reaper(self):
+        if self._reaper is None:
+            self._reaper = threading.Thread(target=self._reap_loop, daemon=True)
+            self._reaper.start()
+
+    def _reap_loop(self):
+        while True:
+            time.sleep(self._reap_every_s)
+            self.reap()
+
+    def reap(self, now: Optional[float] = None) -> List[str]:
+        """Drop sessions idle longer than max_idle_s; returns reaped keys."""
+        now = time.monotonic() if now is None else now
+        with self._lock:
+            dead = [
+                k for k, t in self._last_used.items()
+                if now - t > self.max_idle_s
+            ]
+            for k in dead:
+                self._sessions.pop(k, None)
+                self._last_used.pop(k, None)
+        return dead
+
+    def put(self, key: str, sess):
+        with self._lock:
+            self._sessions[key] = sess
+            self._last_used[key] = time.monotonic()
+
+    def get(self, key: str):
+        with self._lock:
+            sess = self._sessions[key]
+            self._last_used[key] = time.monotonic()
+            return sess
+
+    def close(self, key: str):
+        with self._lock:
+            self._sessions.pop(key, None)
+            self._last_used.pop(key, None)
+
+    def __len__(self):
+        with self._lock:
+            return len(self._sessions)
+
+
+class PredictorRegistry:
+    """Lazily built, cached predictors per (config, checkpoint) — backs the
+    app's model/checkpoint dropdowns (reference app.py model selection)."""
+
+    def __init__(self, choices: Optional[dict] = None):
+        # name -> (cfg, checkpoint_path or None)
+        self.choices = choices or {"sam2.1_hiera_t512 (random init)": ("sam2.1_hiera_t512", None)}
+        self._cache: dict = {}
+        self._lock = threading.Lock()
+
+    def names(self) -> List[str]:
+        return list(self.choices)
+
+    def get(self, name: str):
+        from us_video_medsam2_tpu.core.build import build_sam2_video_predictor
+
+        cfg, ckpt = self.choices[name]
+        with self._lock:
+            if name not in self._cache:
+                self._cache[name] = build_sam2_video_predictor(cfg, ckpt)
+            return self._cache[name]
+
+
+def build_demo(
+    checkpoint: Optional[str] = None,
+    cfg: str = "sam2.1_hiera_t512",
+    model_choices: Optional[dict] = None,
+    max_idle_s: float = 600.0,
+):
     try:
         import gradio as gr
     except ImportError as e:
@@ -113,18 +203,19 @@ def build_demo(checkpoint: Optional[str] = None, cfg: str = "sam2.1_hiera_t512")
             "programmatically or install gradio for the web UI"
         ) from e
 
-    from us_video_medsam2_tpu.core.build import build_sam2_video_predictor
+    if model_choices is None:
+        model_choices = {f"{cfg}": (cfg, checkpoint)}
+    registry = PredictorRegistry(model_choices)
+    sessions = SessionManager(max_idle_s=max_idle_s)
+    sessions.start_reaper()
 
-    predictor = build_sam2_video_predictor(cfg, checkpoint)
-    sessions = {}
-
-    def load_video(video, request: "gr.Request"):
-        sess = AnnotationSession(predictor, video)
-        sessions[request.session_hash] = sess
+    def load_video(video, model_name, request: "gr.Request"):
+        sess = AnnotationSession(registry.get(model_name), video)
+        sessions.put(request.session_hash, sess)
         return sess.overlay_frame(0), gr.update(maximum=len(sess.raw) - 1, value=0)
 
     def on_click(frame_idx, obj_id, positive, evt: "gr.SelectData", request: "gr.Request"):
-        sess = sessions[request.session_hash]
+        sess = sessions.get(request.session_hash)
         x, y = evt.index
         obj_ids, masks = sess.click(
             int(frame_idx), int(obj_id), float(x), float(y), bool(positive)
@@ -133,14 +224,20 @@ def build_demo(checkpoint: Optional[str] = None, cfg: str = "sam2.1_hiera_t512")
         return sess.overlay_frame(int(frame_idx))
 
     def on_track(request: "gr.Request"):
-        sess = sessions[request.session_hash]
+        sess = sessions.get(request.session_hash)
         sess.track()
         out_dir = tempfile.mkdtemp(prefix="uvms2_")
         mp4, zf = sess.export(out_dir)
         return mp4, zf
 
+    def on_unload(request: "gr.Request"):
+        sessions.close(request.session_hash)
+
     with gr.Blocks(title="US-Video-MedSAM2 (TPU)") as demo:
         gr.Markdown("## Promptable medical video segmentation — TPU")
+        model_dd = gr.Dropdown(
+            registry.names(), value=registry.names()[0], label="model / checkpoint"
+        )
         with gr.Row():
             video_in = gr.Video(label="input video")
             frame_view = gr.Image(label="frame")
@@ -150,9 +247,10 @@ def build_demo(checkpoint: Optional[str] = None, cfg: str = "sam2.1_hiera_t512")
         track_btn = gr.Button("Track")
         video_out = gr.Video(label="tracked")
         masks_out = gr.File(label="masks.zip")
-        video_in.change(load_video, [video_in], [frame_view, frame_slider])
+        video_in.change(load_video, [video_in, model_dd], [frame_view, frame_slider])
         frame_view.select(on_click, [frame_slider, obj_id, positive], [frame_view])
         track_btn.click(on_track, [], [video_out, masks_out])
+        demo.unload(on_unload)
     return demo
 
 

@@ -96,7 +96,10 @@ class SAM2VideoPredictor:
         self._encode_frame = jax.jit(self._encode_frame_impl)
         self._prompt = jax.jit(
             self._prompt_impl,
-            static_argnames=("num_frames", "multimask", "is_init", "use_mask", "has_prev"),
+            static_argnames=(
+                "num_frames", "multimask", "is_init", "use_mask", "has_prev",
+                "video_hw",
+            ),
         )
         self._finalize = jax.jit(self._finalize_impl)
         self._propagate = jax.jit(
@@ -179,6 +182,7 @@ class SAM2VideoPredictor:
         is_init,
         use_mask,
         has_prev,
+        video_hw=None,
     ):
         feats = self._encode_frame_impl(params, images[frame_idx][None])
         bank1 = jax.tree.map(
@@ -200,6 +204,15 @@ class SAM2VideoPredictor:
             run_mem_encoder=False,
             method=self.model.track_step,
         )
+        if video_hw is not None:
+            # fuse the video-resolution upsample into the same dispatch: the
+            # interactive click path then costs ONE device round trip (the
+            # reference app pays a fresh inference dispatch per click,
+            # app.py:143-178; the ~40ms tunnel RTT per dispatch dominates here)
+            out = dict(out)
+            out["video_res_masks"] = self._to_video_res_impl(
+                out["low_res_masks"][:, 0], hw=video_hw
+            )
         return out
 
     def _finalize_impl(self, params, images, bank, frame_idx, high_res_masks, scores, obj_ptrs, obj_valid):
@@ -465,6 +478,7 @@ class SAM2VideoPredictor:
             is_init=is_init,
             use_mask=False,
             has_prev=has_prev,
+            video_hw=(state.video_height, state.video_width),
         )
         self._store_prompt_output(state, frame_idx, obj_idx, out)
         return self._prompt_return(state, frame_idx)
@@ -494,6 +508,7 @@ class SAM2VideoPredictor:
             is_init=is_init,
             use_mask=True,
             has_prev=False,
+            video_hw=(state.video_height, state.video_width),
         )
         self._store_prompt_output(state, frame_idx, obj_idx, out)
         return self._prompt_return(state, frame_idx)
@@ -504,18 +519,26 @@ class SAM2VideoPredictor:
             "low_res_masks": out["low_res_masks"],
             "obj_ptr": out["obj_ptr"],
             "score": out["object_score_logits"],
+            # host copy of the fused video-res upsample (one fetch per click;
+            # other objects' masks come from this cache, not a new dispatch)
+            "video_res": np.asarray(out["video_res_masks"][0]),
         }
 
     def _prompt_return(self, state, frame_idx):
+        """One host fetch per click: the prompted object's video-res mask was
+        computed inside the _prompt dispatch and cached; peers are assembled
+        from their cached copies (reference re-dispatches per click,
+        app.py:143-178)."""
         o = state.max_objects
-        fs4 = 4 * self.cfg.feat_size
-        low = np.full((o, fs4, fs4), NO_OBJ_SCORE, np.float32)
+        vh, vw = state.video_height, state.video_width
+        video = np.full((o, vh, vw), NO_OBJ_SCORE, np.float32)
         for oi, rec in state.pending.get(frame_idx, {}).items():
-            low[oi] = np.asarray(rec["low_res_masks"][0, 0])
-        video = self._to_video_res(
-            jnp.asarray(low), hw=(state.video_height, state.video_width)
-        )
-        return frame_idx, list(state.obj_ids), np.asarray(video)[:, None]
+            video[oi] = rec["video_res"]
+        if self.non_overlap_masks:
+            video = np.asarray(
+                apply_non_overlapping_constraints(jnp.asarray(video)[:, None])
+            )[:, 0]
+        return frame_idx, list(state.obj_ids), video[:, None]
 
     # ------------------------------------------------------------ propagation
     def propagate_in_video_preflight(self, state: VideoPredictorState):
