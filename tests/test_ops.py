@@ -227,3 +227,33 @@ def test_rope_halfsplit_equivalent_to_interleaved():
         np.asarray(jnp.einsum("bhqd,bhkd->bhqk", qi, ki)),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_folded_pyramid_matches_direct_convs():
+    """ops/folded_pyramid.py must reproduce the direct k3/s2/p1 conv chain
+    (the memory-encoder parity fixture also covers this through the module)."""
+    import jax
+
+    from us_video_medsam2_tpu.ops.folded_pyramid import folded_conv_layer
+    from us_video_medsam2_tpu.ops.window import space_to_depth
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 1)), jnp.float32)
+    xf = space_to_depth(x, 16)
+    g_in, cin = 16, 1
+    xd = x
+    for layer in range(4):
+        cout = cin * 4
+        w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) / np.sqrt(9 * cin))
+        b = jnp.asarray(rng.standard_normal((cout,)) * 0.1)
+        xf = folded_conv_layer(xf, w, b, g_in, jnp.float32)
+        xd = (
+            jax.lax.conv_general_dilated(
+                xd, w, (2, 2), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            + b
+        )
+        g_in, cin = g_in // 2, cout
+    # final folded layout == true layout (g_out == 1 on the last layer)
+    np.testing.assert_allclose(np.asarray(xf), np.asarray(xd), rtol=2e-5, atol=2e-5)

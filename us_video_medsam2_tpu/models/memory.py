@@ -134,8 +134,34 @@ class MemoryAttention(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(output)
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder matching nn.Conv's names for paths computed manually."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],), jnp.float32)
+        return w, b
+
+
+class _ConvHolder(nn.Module):
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.shape, name="conv")()
+
+
 class MaskDownSampler(nn.Module):
-    """Stride-16 conv pyramid over the predicted mask (reference memory_encoder.py:17-58)."""
+    """Stride-16 conv pyramid over the predicted mask (reference memory_encoder.py:17-58).
+
+    For the shipped k3/s2/p1 geometry the whole pyramid runs in a folded cell
+    layout (ops/folded_pyramid.py): the 1-16-channel early layers otherwise
+    spend ~0.15 ms/frame in lane-sliver convs and layout conversions on TPU.
+    Param tree and numerics are identical to the direct path (which remains
+    for other geometries)."""
 
     cfg: MemoryEncoderConfig
     dtype: jnp.dtype = jnp.float32
@@ -144,11 +170,38 @@ class MaskDownSampler(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, H, W, 1]
         import math
 
+        from us_video_medsam2_tpu.ops.folded_pyramid import (
+            folded_conv_layer,
+            folded_pyramid_applicable,
+        )
+        from us_video_medsam2_tpu.ops.window import space_to_depth
+
         cfg = self.cfg
         stride = cfg.mask_downsampler_stride
         num_layers = int(
             math.log2(cfg.mask_downsampler_total_stride) // math.log2(stride)
         )
+        if x.shape[-1] == 1 and folded_pyramid_applicable(
+            x.shape[1], x.shape[2], cfg.mask_downsampler_kernel, stride,
+            cfg.mask_downsampler_padding, num_layers,
+        ):
+            total = stride**num_layers
+            xf = space_to_depth(x, total)  # [B, H/16, W/16, 256]
+            g_in, cin = total, 1
+            for i in range(num_layers):
+                cout = cin * stride**2
+                w, b = _ConvHolder((3, 3, cin, cout), name=f"encoder_{i}")()
+                xf = folded_conv_layer(xf, w, b, g_in, self.dtype)
+                g_out = g_in // 2
+                bsz, n, m, _ = xf.shape
+                xf = xf.reshape(bsz, n, m, g_out * g_out, cout)
+                xf = LayerNorm(eps=1e-6, dtype=self.dtype, name=f"encoder_ln_{i}")(xf)
+                xf = gelu_exact(xf).reshape(bsz, n, m, g_out * g_out * cout)
+                g_in, cin = g_out, cout
+            return Conv2d(
+                cfg.mask_downsampler_embed_dim, 1, dtype=self.dtype,
+                name="encoder_out",
+            )(xf)
         chans = 1
         for i in range(num_layers):
             chans = chans * stride**2
