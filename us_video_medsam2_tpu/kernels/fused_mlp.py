@@ -137,6 +137,10 @@ def _run(x, gamma, beta, w1, b1, w2, b2, *, eps, act, block_n, interpret=False):
 
 def ln_mlp_residual_available(n: int, d: int, f: int, dtype) -> bool:
     """TPU, bf16, lane-aligned dims, weights + hidden tile fitting VMEM."""
+    import os
+
+    if os.environ.get("US_MEDSAM2_DISABLE_FUSED_MLP"):  # A/B escape hatch
+        return False
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:  # noqa: BLE001
