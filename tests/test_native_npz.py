@@ -60,3 +60,28 @@ def test_prefetching_loader(tmp_path):
     for p in paths:
         out = loader.get(p)
         assert out["imgs"].shape == (4, 16, 16)
+
+
+def test_npz_dataset_with_prefetcher(tmp_path):
+    """NPZRawDataset(prefetch_workers>0) yields identical videos to the
+    synchronous path (read-ahead wiring, training/data.py)."""
+    import numpy as np
+
+    from us_video_medsam2_tpu.training.data import NPZRawDataset
+
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        np.savez(
+            tmp_path / f"case{i}.npz",
+            imgs=(rng.random((4, 16, 16)) * 255).astype(np.uint8),
+            gts=(rng.random((4, 16, 16)) > 0.7).astype(np.uint8),
+        )
+    ds_sync = NPZRawDataset(str(tmp_path))
+    ds_pre = NPZRawDataset(str(tmp_path), prefetch_workers=2)
+    assert len(ds_sync) == len(ds_pre) == 3
+    for i in range(3):
+        v1, l1 = ds_sync.get_video(i)
+        v2, l2 = ds_pre.get_video(i)
+        assert v1.video_name == v2.video_name
+        np.testing.assert_array_equal(v1.frames[0].data, v2.frames[0].data)
+        np.testing.assert_array_equal(l1.masks, l2.masks)

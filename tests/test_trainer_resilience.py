@@ -167,3 +167,38 @@ def test_gradient_accumulation_matches_large_batch():
     assert float(jnp.abs(up_a["w"]).max()) == 0.0  # micro-step: no update yet
     up_b, s = tx_acc.update(g2, s, params)
     np.testing.assert_allclose(up_b["w"], up_ref["w"], rtol=1e-6)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax backend round-trips nested pytrees incl. optax-like namedtuples
+    and honours skip patterns (core/checkpoint.py orbax backend)."""
+    import collections
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from us_video_medsam2_tpu.core.checkpoint import (
+        restore_checkpoint_any,
+        save_checkpoint_any,
+    )
+
+    Adam = collections.namedtuple("Adam", ["mu", "nu"])
+    state = {
+        "params": {"layer": {"kernel": jnp.arange(6.0).reshape(2, 3)}},
+        "opt": Adam(mu={"layer": {"kernel": jnp.ones((2, 3))}},
+                    nu={"layer": {"kernel": jnp.full((2, 3), 2.0)}}),
+        "step": jnp.asarray(7),
+    }
+    path = str(tmp_path / "ckpt_orbax")
+    save_checkpoint_any(path, state, backend="orbax")
+    got = restore_checkpoint_any(path)
+    np.testing.assert_array_equal(got["params"]["layer"]["kernel"],
+                                  np.arange(6.0).reshape(2, 3))
+    np.testing.assert_array_equal(got["opt"]["mu"]["layer"]["kernel"], np.ones((2, 3)))
+    assert int(got["step"]) == 7
+
+    # skip patterns drop matching subtrees
+    path2 = str(tmp_path / "ckpt_orbax2")
+    save_checkpoint_any(path2, state, skip_patterns=["opt/*"], backend="orbax")
+    got2 = restore_checkpoint_any(path2)
+    assert "opt" not in got2 or not got2["opt"]

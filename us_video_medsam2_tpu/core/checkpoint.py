@@ -117,9 +117,14 @@ def restore_params(path: str) -> Dict:
 
 
 def get_resume_checkpoint(save_dir: str) -> Optional[str]:
-    """(reference train_utils.py:281-288)"""
+    """(reference train_utils.py:281-288); finds either backend's artifact."""
     path = os.path.join(save_dir, "checkpoint.npz")
-    return path if os.path.exists(path) else None
+    if os.path.exists(path):
+        return path
+    orbax_dir = os.path.join(save_dir, "checkpoint")
+    if os.path.isdir(orbax_dir):
+        return orbax_dir
+    return None
 
 
 def load_state_dict_into_params(
@@ -153,3 +158,65 @@ def load_state_dict_into_params(
             assert cur[k].shape == np.shape(v), f"{k}: {cur[k].shape} vs {np.shape(v)}"
             merged[k] = v
     return _unflatten(merged)
+
+
+# ----------------------------------------------------------------- orbax backend
+# Optional Orbax-backed checkpointing for very large params/optimizer states:
+# sharding-aware async-capable saves that restore directly onto a jax.sharding
+# Mesh without a host-memory round trip (the npz backend gathers everything to
+# host). Same call contract as save_checkpoint/restore_checkpoint; the backend
+# is selected by path convention (a directory => orbax, a file => npz).
+
+
+def save_checkpoint_orbax(path: str, state: Dict,
+                          skip_patterns: Optional[List[str]] = None):
+    """Save `state` as an Orbax StandardCheckpoint under directory `path`
+    (atomic: orbax writes to a tmp dir then renames). skip_patterns filter
+    flattened '/'-joined key paths like the npz backend."""
+    import orbax.checkpoint as ocp
+    from flax import serialization
+
+    state = serialization.to_state_dict(state)
+    if skip_patterns:
+        flat = _flatten(state)
+        flat = {
+            k: v for k, v in flat.items()
+            if not any(fnmatch.fnmatch(k, p) for p in skip_patterns)
+        }
+        state = _unflatten(flat)
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+        ckptr.wait_until_finished()
+
+
+def restore_checkpoint_orbax(path: str, target: Optional[Dict] = None) -> Dict:
+    """Restore an Orbax checkpoint directory. When `target` (a pytree of
+    jax.ShapeDtypeStruct or arrays, possibly with shardings) is given, arrays
+    are restored directly onto the target's shardings/devices."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        if target is not None:
+            from flax import serialization
+
+            target = serialization.to_state_dict(target)
+            return ckptr.restore(path, target)
+        return ckptr.restore(path)
+
+
+def save_checkpoint_any(path: str, state: Dict,
+                        skip_patterns: Optional[List[str]] = None,
+                        backend: str = "npz"):
+    """Dispatch to the npz (single-file, host-gathered) or orbax
+    (directory, sharding-aware) backend."""
+    if backend == "orbax":
+        return save_checkpoint_orbax(path, state, skip_patterns)
+    return save_checkpoint(path, state, skip_patterns)
+
+
+def restore_checkpoint_any(path: str, target: Optional[Dict] = None) -> Dict:
+    if os.path.isdir(path):
+        return restore_checkpoint_orbax(path, target)
+    return restore_checkpoint(path)

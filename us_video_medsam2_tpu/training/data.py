@@ -108,10 +108,25 @@ class NPZRawDataset(VOSRawDataset):
         sample_rate: int = 1,
         truncate_video: int = -1,
         require_gt_presence: bool = False,
+        prefetch_workers: int = 0,
+        prefetch_ahead: int = 4,
     ):
         self.folder = folder
         self.sample_rate = sample_rate
         self.truncate_video = truncate_video
+        # opt-in read-ahead through the C++ zlib NPZ reader (GIL-free decode;
+        # training/native_npz.py). Off by default — useful on multi-core hosts,
+        # unmeasurable on this 1-vCPU dev box.
+        self._prefetcher = None
+        self._prefetch_ahead = prefetch_ahead
+        if prefetch_workers > 0:
+            from us_video_medsam2_tpu.training.native_npz import (
+                PrefetchingNPZLoader,
+            )
+
+            self._prefetcher = PrefetchingNPZLoader(
+                num_workers=prefetch_workers, ahead=prefetch_ahead
+            )
 
         subset = []
         for root, _, files in os.walk(folder):
@@ -142,7 +157,11 @@ class NPZRawDataset(VOSRawDataset):
             self.video_names = kept
 
     def _load_npz(self, video_name: str):
-        data = np.load(os.path.join(self.folder, f"{video_name}.npz"))
+        path = os.path.join(self.folder, f"{video_name}.npz")
+        if self._prefetcher is not None:
+            data = self._prefetcher.get(path)
+        else:
+            data = np.load(path)
         frames = data["imgs"].astype(np.float32) / 255.0  # [T, H, W]
         if frames.ndim == 3:
             frames = np.repeat(frames[..., None], 3, axis=-1)
@@ -158,6 +177,13 @@ class NPZRawDataset(VOSRawDataset):
 
     def get_video(self, idx: int):
         name = self.video_names[idx]
+        if self._prefetcher is not None:
+            # read-ahead in dataset order (samplers are near-sequential within
+            # an epoch shard; unscheduled paths just load synchronously)
+            for j in range(idx + 1, min(idx + 1 + self._prefetch_ahead, len(self))):
+                self._prefetcher.schedule(
+                    os.path.join(self.folder, f"{self.video_names[j]}.npz")
+                )
         frames, masks = self._load_npz(name)
         vos_frames = [
             VOSFrame(i * self.sample_rate, data=frames[i]) for i in range(len(frames))
@@ -779,6 +805,12 @@ class TrainMixedVideoLoader:
             pad = self.process_count - len(idxs) % self.process_count
             idxs = list(idxs) + list(idxs[:pad])
         idxs = idxs[self.process_index :: self.process_count]
+        if 0 < len(idxs) < bs:
+            # fewer videos than one global batch (tiny datasets / many-device
+            # hosts): wrap-pad so the epoch still trains one batch instead of
+            # silently dropping everything (drop_last would starve the run)
+            reps = -(-bs // len(idxs))
+            idxs = (list(idxs) * reps)[:bs]
         return [idxs[i : i + bs] for i in range(0, len(idxs) - bs + 1, bs)]
 
     def get_loader(self, epoch: int) -> Iterable[Dict]:

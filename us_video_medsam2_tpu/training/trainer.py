@@ -53,6 +53,9 @@ class TrainerConfig:
     val_epoch_freq: int = 1
     best_meter_key: str = "core_loss"  # lower is better
     skip_saving_parameters: List[str] = field(default_factory=list)
+    # 'npz' (single file, host-gathered) or 'orbax' (directory, sharding-aware
+    # StandardCheckpointer — for very large params/optimizer states)
+    checkpoint_backend: str = "npz"
     # checkpoint-and-exit on these signals (preemption handling: the reference
     # relies on submitit's Checkpointable requeue, training/train.py:65-111;
     # here the sbatch script requeues and this trainer guarantees a fresh
@@ -126,8 +129,11 @@ class Trainer:
     def save_checkpoint(self, name="checkpoint"):
         path = os.path.join(self.cfg.save_dir, name)
         skip = [f"params/{p}" for p in self.cfg.skip_saving_parameters]
-        ckpt_lib.save_checkpoint(path, self._ckpt_state(), skip_patterns=skip)
-        logging.info("saved checkpoint %s", path)
+        ckpt_lib.save_checkpoint_any(
+            path, self._ckpt_state(), skip_patterns=skip,
+            backend=self.cfg.checkpoint_backend,
+        )
+        logging.info("saved checkpoint %s (%s)", path, self.cfg.checkpoint_backend)
 
     def _maybe_resume(self):
         resume = ckpt_lib.get_resume_checkpoint(self.cfg.save_dir)
@@ -135,7 +141,7 @@ class Trainer:
             return
         from flax import serialization
 
-        loaded = ckpt_lib.restore_checkpoint(resume)
+        loaded = ckpt_lib.restore_checkpoint_any(resume)
         # restore into the live structure (optax namedtuple states etc.)
         template = {
             "params": self.state.params,
@@ -241,6 +247,11 @@ class Trainer:
         while self.epoch < self.cfg.max_epochs:
             epoch = self.epoch
             stats = self.train_epoch(epoch)
+            if "core_loss" not in stats:
+                raise RuntimeError(
+                    f"epoch {epoch} produced no batches — check dataset size "
+                    "vs batch size and curriculum stage filters"
+                )
             self.time_meter.update()
             record = {
                 "epoch": epoch,
