@@ -135,6 +135,17 @@ def _run(x, gamma, beta, w1, b1, w2, b2, *, eps, act, block_n, interpret=False):
     return out[:n] if pad else out
 
 
+def pick_block_n(n: int, d: int, f: int) -> int:
+    """Largest token tile fitting scoped VMEM (hidden f32 tile + bf16 weights
+    + in/out tiles). Measured on v5e: bn=1024-2048 is 30-40% faster than 256
+    at the trunk shapes (docs/ROADMAP.md round-2)."""
+    budget = 8 * 2**20 - 2 * d * f * 2
+    for bn in (2048, 1024, 512, 256):
+        if bn <= max(n, 256) and bn * (f * 4 + d * 8) <= budget:
+            return bn
+    return 256
+
+
 def ln_mlp_residual_available(n: int, d: int, f: int, dtype) -> bool:
     """TPU, bf16, lane-aligned dims, weights + hidden tile fitting VMEM."""
     import os

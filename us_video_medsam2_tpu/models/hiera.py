@@ -23,6 +23,7 @@ from us_video_medsam2_tpu.core.config import HieraConfig
 from us_video_medsam2_tpu.kernels.fused_mlp import (
     ln_mlp_residual,
     ln_mlp_residual_available,
+    pick_block_n,
 )
 from us_video_medsam2_tpu.models.layers import MLP, DropPath, LayerNorm, gelu_exact
 from us_video_medsam2_tpu.ops.attention import sdpa
@@ -227,7 +228,7 @@ class MultiScaleBlock(nn.Module):
                 p["mlp"]["layers_1"]["bias"],
                 1e-6,
                 "gelu",
-                256,
+                pick_block_n(n_tok, self.dim_out, hidden),
             )
             return out.reshape(x.shape)
         y = mlp(norm2(x))
