@@ -101,6 +101,10 @@ class MemoryAttentionConfig:
     rope_theta: float = 10000.0
     rope_feat_sizes: Tuple[int, int] = (32, 32)
     kv_in_dim: int = 64
+    # force the Pallas flash kernel for the memory cross-attention regardless
+    # of the shape gate — set by the batched serving path, where XLA's fused
+    # softmax+AV degenerates under vmap (inference/serve.py)
+    force_flash: bool = False
     # EfficientTAM-style landmark pooling of spatial memory K/V (0 = off); mirrors
     # efficient_track_anything/modeling/sam/transformer.py:378-415.
     efficient_pool_size: int = 0

@@ -72,6 +72,7 @@ class MemoryAttentionLayer(nn.Module):
             num_heads=cfg.num_heads,
             kv_in_dim=cfg.kv_in_dim,
             dropout=cfg.dropout,
+            force_flash=getattr(cfg, "force_flash", False),
             dtype=self.dtype,
             name="cross_attn_image",
         )(

@@ -70,7 +70,8 @@ class PromptEncoder(nn.Module):
         pts = (coords.astype(jnp.float32) + 0.5) / self.input_image_size
         pe = self._pe_encoding(pts)
         pe = jnp.where((labels == -1)[..., None], 0.0, pe)
-        table = self.point_embed.astype(self.dtype)
+        # jnp (not numpy) so tracer indices work under vmap batching too
+        table = jnp.asarray(self.point_embed).astype(self.dtype)
         idx = jnp.clip(labels + 1, 0, 4)
         return pe + table[idx]
 

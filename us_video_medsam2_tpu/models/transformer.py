@@ -64,6 +64,7 @@ class RoPEAttention(nn.Module):
     downsample_rate: int = 1
     kv_in_dim: Optional[int] = None
     dropout: float = 0.0
+    force_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _heads(self, x):
@@ -143,7 +144,7 @@ class RoPEAttention(nn.Module):
                 preferred_element_type=jnp.float32,
             ).astype(q.dtype)
         else:
-            out = sdpa(q, k, v, key_mask=key_mask)
+            out = sdpa(q, k, v, key_mask=key_mask, force_flash=self.force_flash)
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
         return nn.Dense(self.embedding_dim, dtype=self.dtype, name="out_proj")(out)

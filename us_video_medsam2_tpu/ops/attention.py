@@ -23,6 +23,7 @@ def sdpa(
     key_mask: jnp.ndarray | None = None,
     scale: float | None = None,
     allow_flash: bool = True,
+    force_flash: bool = False,
 ) -> jnp.ndarray:
     """Attention over [B, H, L, D] tensors.
 
@@ -45,7 +46,13 @@ def sdpa(
             flash_attention_available,
         )
 
-        if flash_attention_available(q.shape, k.shape, k.dtype):
+        # force_flash: the caller knows better than the shape gate — used by
+        # the vmapped serving path, where XLA's softmax+AV output fusion
+        # degenerates into per-tile recompute (619 of 759 ms in the round-2
+        # serve trace) while the Pallas kernel batches over an extra grid dim
+        if (force_flash and d % 128 == 0) or flash_attention_available(
+            q.shape, k.shape, k.dtype
+        ):
             return flash_attention(q, k, v, key_mask)
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
