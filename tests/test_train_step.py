@@ -106,6 +106,53 @@ def test_sharded_train_step_runs_and_updates(setup):
     assert np.isfinite(float(metrics2["core_loss"]))
 
 
+def test_sharded_train_step_matches_single_device(setup):
+    """DP numerical equivalence: the 8-device sharded train step produces the
+    SAME loss, gradients, and updated parameters as the single-device step on
+    the same global batch — the property the reference's DDP wrap guarantees
+    by construction (trainer.py:291-311). XLA's partitioning only reassociates
+    the batch reductions, so f32 agreement should be ~1e-6 on this tiny model."""
+    model, params, cfg = setup
+    batch = _batch(t=2, b=8, o=2)
+    rng = jax.random.PRNGKey(3)
+    step = make_train_step(model, cfg, donate=False, return_grads=True)
+
+    state1 = create_train_state(model, params, cfg)
+    ns1, m1 = step(state1, batch, rng)
+
+    mesh = create_mesh(("data",))
+    state8 = replicate_pytree(create_train_state(model, params, cfg), mesh)
+    sharded = TrainBatch(
+        images=shard_pytree_batch(batch.images, mesh, axis=1),
+        masks=shard_pytree_batch(batch.masks, mesh, axis=1),
+        obj_valid=shard_pytree_batch(batch.obj_valid, mesh, axis=0),
+    )
+    ns8, m8 = step(state8, sharded, rng)
+
+    np.testing.assert_allclose(
+        float(m8["core_loss"]), float(m1["core_loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m8["grad_norm"]), float(m1["grad_norm"]), rtol=1e-5
+    )
+    # per-leaf gradient equivalence (atol scaled to each leaf's magnitude)
+    g1 = jax.tree.leaves(m1["grads"])
+    g8 = jax.tree.leaves(m8["grads"])
+    assert len(g1) == len(g8)
+    for a, b in zip(g1, g8):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 1e-6 + 1e-5 * np.abs(a).max()
+        np.testing.assert_allclose(b, a, atol=tol, rtol=0)
+    # updated parameters agree (AdamW step 1 normalizes g/|g| so compare
+    # against the learning-rate scale)
+    p1 = jax.tree.leaves(ns1.params)
+    p8 = jax.tree.leaves(ns8.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-7 + 1e-4 * cfg.optim.base_lr, rtol=0
+        )
+
+
 def test_prompt_plan_covers_all_modes():
     from us_video_medsam2_tpu.training.train_model import _sample_plan
 

@@ -21,9 +21,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def maybe_initialize_distributed():
     """Multi-host init (no-op single host). Replaces env-var rendezvous +
-    init_process_group (reference train_utils.py:66-78)."""
+    init_process_group (reference train_utils.py:66-78).
+
+    jax.distributed.initialize() reads JAX_COORDINATOR_ADDRESS itself but (as
+    of jax 0.9) resolves num_processes/process_id only through cluster
+    auto-detection (SLURM/TPU/MPI) — so the JAX_NUM_PROCESSES/JAX_PROCESS_ID
+    vars our launch scripts export (scripts/slurm_train.sbatch:27-28) are
+    forwarded explicitly here. Exercised end-to-end by the 2-process CPU
+    dryrun (__graft_entry__.py::dryrun_multiprocess)."""
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+        kwargs = {}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        if os.environ.get("JAX_PROCESS_ID"):
+            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+        jax.distributed.initialize(**kwargs)
 
 
 def create_mesh(

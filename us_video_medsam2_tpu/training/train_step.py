@@ -52,7 +52,13 @@ def create_train_state(model: SAM2Model, params, cfg: TrainConfig) -> TrainState
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
 
 
-def make_train_step(model: SAM2Model, cfg: TrainConfig, donate: bool = True):
+def make_train_step(
+    model: SAM2Model, cfg: TrainConfig, donate: bool = True, return_grads: bool = False
+):
+    """return_grads=True adds the raw gradient tree to the metrics dict —
+    diagnostic path used by the DP-equivalence tests/dryrun to assert the
+    sharded step reproduces the single-device gradients exactly (the property
+    DDP guarantees by construction, reference trainer.py:291-311)."""
     def loss_fn(params, batch: TrainBatch, rng):
         rng, drop_rng = jax.random.split(rng)
         stacked, finals = train_forward(
@@ -79,6 +85,8 @@ def make_train_step(model: SAM2Model, cfg: TrainConfig, donate: bool = True):
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         metrics = {k: v for k, v in losses.items()}
         metrics["grad_norm"] = optax_global_norm(grads)
+        if return_grads:
+            metrics["grads"] = grads
         return new_state, metrics
 
     kwargs = {"donate_argnums": (0,)} if donate else {}
