@@ -1,5 +1,8 @@
 """Dataset machinery: curricula staging, mixing loader, collation, transforms."""
 
+import os
+import random
+
 import numpy as np
 import pytest
 
@@ -215,3 +218,278 @@ def test_vertical_flip_and_flare_stack(npz_dir):
     )
     dp = ds.get_datapoint(3)
     assert len(dp.images) == 3 and dp.images[0].shape == (48, 48, 3)
+
+
+# ------------------------------------------------------------- RandomAffine
+class TestRandomAffineFidelity:
+    """Parity with reference transforms.py:332-441 / torchvision F.affine:
+    the matrix math is checked against an independent torch grid_sample
+    implementation of torchvision's documented tensor path."""
+
+    def _dp(self, t=2, h=64, w=64, seed=0):
+        from us_video_medsam2_tpu.training.data import VideoDatapoint
+
+        rng = np.random.default_rng(seed)
+        # smooth image so interpolation-backend differences stay small
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        base = 0.5 + 0.3 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
+        imgs = [np.repeat(base[:, :, None], 3, axis=2) + 0.01 * i for i in range(t)]
+        masks = []
+        for _ in range(t):
+            m = np.zeros((h, w), bool)
+            m[20:40, 25:45] = True
+            masks.append({1: m})
+        return VideoDatapoint(images=imgs, masks=masks)
+
+    def test_matrix_matches_torch_grid_sample(self):
+        """cv2 warp with our inverse matrix == torchvision's tensor-path warp
+        (affine_grid semantics, align_corners=False) on interior pixels."""
+        import torch
+        import torch.nn.functional as F
+
+        from us_video_medsam2_tpu.training.data import affine_inverse_matrix
+
+        h = w = 64
+        dp = self._dp(t=1, h=h, w=w)
+        img = dp.images[0]
+        angle, translate, scale, shear = 17.0, (3, -2), 1.15, (8.0, 0.0)
+
+        import cv2
+
+        m = affine_inverse_matrix(
+            (w * 0.5 - 0.5, h * 0.5 - 0.5), angle, translate, scale, shear
+        )
+        ours = cv2.warpAffine(
+            img, m, (w, h), flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+            borderValue=(0, 0, 0),
+        )
+
+        # torchvision tensor path: same inverse matrix about center-origin,
+        # sampled through grid_sample in normalized coords
+        m0 = affine_inverse_matrix((0.0, 0.0), angle, translate, scale, shear)
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        xc = xs - (w - 1) / 2.0
+        yc = ys - (h - 1) / 2.0
+        xin = m0[0, 0] * xc + m0[0, 1] * yc + m0[0, 2]
+        yin = m0[1, 0] * xc + m0[1, 1] * yc + m0[1, 2]
+        grid = torch.from_numpy(
+            np.stack([xin / (w * 0.5), yin / (h * 0.5)], -1)[None]
+        ).float()
+        timg = torch.from_numpy(np.ascontiguousarray(img)).permute(2, 0, 1)[None]
+        ref = F.grid_sample(
+            timg, grid, mode="bilinear", padding_mode="zeros", align_corners=False
+        )[0].permute(1, 2, 0).numpy()
+
+        # compare where the sample came from well inside the source image
+        interior = (
+            (xin > 2) & (xin < w - 3) & (yin > 2) & (yin < h - 3)
+        )[:, :, None] & np.ones((1, 1, 3), bool)
+        assert interior.sum() > 3 * h * w // 8  # enough coverage to be meaningful
+        np.testing.assert_allclose(ours[interior], ref[interior], atol=2e-2)
+        # and they agree to high precision on average (catches any half-pixel
+        # center-convention error, which shifts everything by >= 0.5 px)
+        assert float(np.abs(ours[interior] - ref[interior]).mean()) < 2e-3
+
+    def test_integer_translate_exact_and_mean_fill(self):
+        from us_video_medsam2_tpu.training.data import RandomAffine
+
+        dp = self._dp(t=1)
+        img0 = dp.images[0].copy()
+        aff = RandomAffine(
+            degrees=0.0, shear=None, translate=(0.25, 0.25), num_retries=50
+        )
+        random.seed(3)
+        out = aff(dp)
+        # find the applied integer shift from the mask
+        m0 = np.zeros((64, 64), bool)
+        m0[20:40, 25:45] = True
+        got = out.masks[0][1]
+        ys, xs = np.where(got)
+        ty, tx = ys.min() - 20, xs.min() - 25
+        assert (abs(int(tx)), abs(int(ty))) != (0, 0)
+        expect = np.roll(np.roll(img0, int(ty), axis=0), int(tx), axis=1)
+        hh, ww = img0.shape[:2]
+        inner = np.zeros((hh, ww), bool)
+        ys0 = slice(max(0, ty), min(hh, hh + ty))
+        xs0 = slice(max(0, tx), min(ww, ww + tx))
+        inner[ys0, xs0] = True
+        np.testing.assert_allclose(
+            out.images[0][inner], expect[inner], atol=1e-5
+        )
+        # border fill = reference image_mean scaled to the 0-1 pipeline
+        fill = np.asarray([123, 116, 103], np.float32) / 255.0
+        outer = ~inner
+        assert outer.sum() > 0
+        np.testing.assert_allclose(
+            out.images[0][outer], np.broadcast_to(fill, (outer.sum(), 3)), atol=1e-5
+        )
+
+    def test_inconsistent_transform_varies_per_frame(self):
+        from us_video_medsam2_tpu.training.data import RandomAffine
+
+        dp = self._dp(t=4)
+        for i in range(1, 4):
+            dp.images[i] = dp.images[0].copy()  # identical frames in
+        aff = RandomAffine(
+            degrees=20.0, shear=10.0, consistent_transform=False, num_retries=50
+        )
+        random.seed(0)
+        out = aff(dp)
+        diffs = [
+            float(np.abs(out.images[0] - out.images[i]).max()) for i in range(1, 4)
+        ]
+        assert max(diffs) > 1e-3, "per-frame affines must differ"
+
+        # consistent_transform=True keeps identical frames identical
+        dp2 = self._dp(t=3)
+        for i in range(1, 3):
+            dp2.images[i] = dp2.images[0].copy()
+        aff2 = RandomAffine(degrees=20.0, shear=10.0, num_retries=50)
+        random.seed(0)
+        out2 = aff2(dp2)
+        for i in range(1, 3):
+            np.testing.assert_allclose(out2.images[0], out2.images[i], atol=1e-6)
+
+    def test_invalid_interpolation_raises(self):
+        from us_video_medsam2_tpu.training.data import RandomAffine
+
+        with pytest.raises(NotImplementedError):
+            RandomAffine(image_interpolation="nearest")
+
+    def test_first_frame_visibility_retry_returns_original(self):
+        from us_video_medsam2_tpu.training.data import RandomAffine, VideoDatapoint
+
+        h = w = 64
+        img = np.random.default_rng(0).random((h, w, 3)).astype(np.float32)
+        mask = np.zeros((h, w), bool)
+        mask[0:2, 0:2] = True  # corner object: large translates push it out
+        dp = VideoDatapoint(images=[img.copy()], masks=[{1: mask.copy()}])
+        aff = RandomAffine(
+            degrees=0.0, shear=None, translate=(0.9, 0.9), num_retries=3
+        )
+        random.seed(1)
+        for _ in range(40):
+            out = aff(dp)
+            ok = out.masks[0][1].any()
+            if not ok:
+                break
+            # either untouched (gave up -> original mask) or still visible
+            assert out.masks[0][1].any()
+
+    def test_get_params_distribution(self):
+        """Sampling semantics of torchvision get_params: integer-pixel
+        translations bounded by fraction*size, scalar shear is x-only."""
+        from us_video_medsam2_tpu.training.data import affine_get_params
+
+        random.seed(0)
+        for _ in range(200):
+            angle, (tx, ty), scale, (sx, sy) = affine_get_params(
+                [-25, 25], (0.1, 0.2), (0.7, 1.4), [-20, 20], (64, 32)
+            )
+            assert -25 <= angle <= 25
+            assert isinstance(tx, int) and isinstance(ty, int)
+            assert abs(tx) <= round(0.1 * 64) and abs(ty) <= round(0.2 * 32)
+            assert 0.7 <= scale <= 1.4
+            assert -20 <= sx <= 20 and sy == 0.0
+
+
+# --------------------------------------------- MedSAM2 curriculum datasets
+class TestMedSAM2CurriculumDatasets:
+    """reference vos_raw_dataset.py:70-194: stage-directory curriculum +
+    stochastic temporal jittering."""
+
+    @pytest.fixture()
+    def tree(self, tmp_path):
+        rng = np.random.default_rng(0)
+        for stage, n in [("dense", 2), ("expand", 3), ("full", 2)]:
+            d = tmp_path / stage / "uterine_niche"
+            d.mkdir(parents=True)
+            for i in range(n):
+                t = 12
+                np.savez(
+                    d / f"case_{i}.npz",
+                    imgs=(rng.random((t, 8, 8, 3)) * 255).astype(np.uint8),
+                    masks=(rng.random((t, 8, 8)) > 0.5).astype(np.uint8),
+                )
+        # 'full' stage also present WITHOUT the uterine_niche subdir elsewhere
+        return str(tmp_path)
+
+    def test_stage_switching_and_lengths(self, tree):
+        from us_video_medsam2_tpu.training.data import MedSAM2CurriculumDataset2
+
+        ds = MedSAM2CurriculumDataset2(tree, {"expand": 5, "full": 10})
+        assert ds.stage == "dense" and len(ds) == 2
+        assert ds.update_curriculum_stage(4) is False
+        assert ds.update_curriculum_stage(5) is True and ds.stage == "expand"
+        assert len(ds) == 3
+        assert ds.update_curriculum_stage(10) is True and ds.stage == "full"
+        assert ds.update_curriculum_stage(11) is False
+
+    def test_dense_takes_first_frame_full_takes_all(self, tree):
+        from us_video_medsam2_tpu.training.data import MedSAM2CurriculumDataset2
+
+        ds = MedSAM2CurriculumDataset2(tree, {})
+        item = ds[0]
+        assert item["num_frames"] == 1 and item["images"].shape == (1, 8, 8, 3)
+        ds.update_curriculum_stage(60)  # full
+        item = ds[0]
+        assert item["num_frames"] == 12
+        assert item["images"].dtype == np.float32
+        assert item["video_id"] == "case_0"
+
+    def test_expand_deterministic_vs_stochastic_stride(self, tree):
+        from us_video_medsam2_tpu.training.data import (
+            MedSAM2CurriculumDataset,
+            MedSAM2CurriculumDataset2,
+        )
+
+        base = MedSAM2CurriculumDataset(tree, {"expand": 0, "full": 99})
+        base.update_curriculum_stage(1)
+        base.temporal_stride = 3
+        assert base._sample_indices(12) == [0, 3, 6, 9]
+
+        ds = MedSAM2CurriculumDataset2(tree, {"expand": 0, "full": 99})
+        ds.update_curriculum_stage(1)
+        ds.temporal_stride = 3
+        random.seed(0)
+        draws = [tuple(ds._sample_indices(12)) for _ in range(50)]
+        assert len(set(draws)) > 1, "jittering must vary the indices"
+        for d in draws:
+            assert len(d) == 4
+            for slot, idx in enumerate(d):
+                lo = slot * 3
+                assert lo <= idx <= min(lo + 2, 11)
+
+    def test_jitter_sampling_distribution_uniform_in_window(self, tree):
+        """Each stride window picks uniformly among its offsets (reference
+        :160-171 torch.randint(0, stride))."""
+        from us_video_medsam2_tpu.training.data import MedSAM2CurriculumDataset2
+
+        ds = MedSAM2CurriculumDataset2(tree, {"expand": 0, "full": 99})
+        ds.update_curriculum_stage(1)
+        ds.temporal_stride = 4
+        random.seed(123)
+        n = 4000
+        counts = np.zeros(4, np.int64)
+        for _ in range(n):
+            idx = ds._sample_indices(16)[1]  # window [4, 8)
+            counts[idx - 4] += 1
+        freq = counts / n
+        np.testing.assert_allclose(freq, 0.25, atol=0.03)
+        # clamped tail window: offsets past T-1 pile onto the last frame
+        random.seed(7)
+        tail = [ds._sample_indices(14)[3] for _ in range(2000)]  # window [12, 14)
+        tail = np.asarray(tail)
+        assert set(tail.tolist()) <= {12, 13}
+        # offsets 1,2,3 clamp to 13 -> P(13) ~ 3/4
+        assert abs((tail == 13).mean() - 0.75) < 0.05
+
+    def test_error_fallthrough_to_next_index(self, tree):
+        from us_video_medsam2_tpu.training.data import MedSAM2CurriculumDataset2
+
+        ds = MedSAM2CurriculumDataset2(tree, {})
+        # corrupt sample 0
+        with open(os.path.join(ds.target_path, ds.samples[0]), "wb") as f:
+            f.write(b"not an npz")
+        item = ds[0]
+        assert item is not None and item["video_id"] == "case_1"

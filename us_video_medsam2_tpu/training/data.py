@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import math
 import os
 import random
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
@@ -289,6 +290,115 @@ class NeuroSpectralNPZRawDataset(NPZRawDataset):
         self.video_names = sorted(self.ordered[:n])
 
 
+class MedSAM2CurriculumDataset:
+    """Progressive stage-directory curriculum over NPZ videos (reference
+    vos_raw_dataset.py:70-92 — that class is truncated upstream: it defines
+    only the stage loader; the runnable variant is MedSAM2CurriculumDataset2,
+    whose machinery both share, :98-194).
+
+    Layout: <folder>/<stage>/uterine_niche/*.npz (fallback <folder>/<stage>);
+    stages dense -> expand -> full switch at the epoch `milestones`
+    ({"expand": 20, "full": 50} defaults). Per-item semantics:
+      - dense: first frame only (static-feature warm-up)
+      - expand: every `temporal_stride`-th frame (deterministic here;
+        stochastic jittering is the subclass's addition)
+      - full: all frames
+    Items are dicts with NHWC float images (the torch reference transposes to
+    NCHW, :183-185 — NHWC is this framework's layout invariant), float masks,
+    video_id, num_frames. Load failures fall through to the next index
+    (reference :190-194)."""
+
+    use_stochastic = False
+
+    def __init__(self, folder: str, milestones: Optional[Dict[str, int]] = None, **kw):
+        self.base_folder = folder
+        self.milestones = dict(milestones or {})
+        self.stage = "dense"
+        self.temporal_stride = 1
+        self.samples: List[str] = []
+        self.target_path = folder
+        self._load_stage_data("dense")
+
+    def _load_stage_data(self, stage: str):
+        self.stage = stage
+        self.target_path = os.path.join(self.base_folder, stage, "uterine_niche")
+        if not os.path.exists(self.target_path):
+            self.target_path = os.path.join(self.base_folder, stage)
+        if os.path.exists(self.target_path):
+            self.samples = sorted(
+                f for f in os.listdir(self.target_path) if f.endswith(".npz")
+            )
+        else:
+            self.samples = []
+        logging.info(
+            "[MedSAM2Curriculum] stage=%s samples=%d", stage, len(self.samples)
+        )
+
+    def update_curriculum_stage(self, epoch: int) -> bool:
+        """Epoch-driven stage switch; True when the stage changed (reference
+        :131-140)."""
+        target = "dense"
+        if epoch >= self.milestones.get("full", 50):
+            target = "full"
+        elif epoch >= self.milestones.get("expand", 20):
+            target = "expand"
+        if target != self.stage:
+            self._load_stage_data(target)
+            return True
+        return False
+
+    def _sample_indices(self, t: int) -> List[int]:
+        if self.stage == "dense":
+            return [0]
+        if self.stage == "expand" and self.temporal_stride > 1:
+            if self.use_stochastic:
+                # Stochastic Temporal Jittering (reference :160-171): one frame
+                # uniformly from each stride window [i, i+stride), clamped —
+                # non-uniform sampling suppresses temporal aliasing
+                return [
+                    min(i + int(random.randrange(self.temporal_stride)), t - 1)
+                    for i in range(0, t, self.temporal_stride)
+                ]
+            return list(range(0, t, self.temporal_stride))
+        return list(range(t))
+
+    def __getitem__(self, idx: int):
+        if not self.samples:
+            return None
+        name = self.samples[idx]
+        path = os.path.join(self.target_path, name)
+        try:
+            data = np.load(path, allow_pickle=True)
+            imgs = np.asarray(data["imgs"])  # (T, H, W, 3) or (T, H, W)
+            masks = np.asarray(data["masks"] if "masks" in data else data["gts"])
+            sel = self._sample_indices(len(imgs))
+            imgs = imgs[sel]
+            masks = masks[sel]
+            if imgs.ndim == 3:
+                imgs = np.repeat(imgs[..., None], 3, axis=-1)
+            return {
+                "video_id": name[: -len(".npz")],
+                "images": imgs.astype(np.float32),
+                "masks": masks.astype(np.float32),
+                "num_frames": len(imgs),
+            }
+        except Exception as e:  # noqa: BLE001
+            logging.error("error loading %s: %s", path, e)
+            return self[(idx + 1) % len(self.samples)]
+
+    def __len__(self):
+        return len(self.samples)
+
+
+class MedSAM2CurriculumDataset2(MedSAM2CurriculumDataset):
+    """The stochastic-temporal-jittering variant (reference
+    vos_raw_dataset.py:98-194): identical staging, but 'expand' picks one
+    frame uniformly at random from each stride window instead of the fixed
+    window start."""
+
+    use_stochastic = True
+
+
 class PNGRawDataset(VOSRawDataset):
     """JPEG frames + palettised PNG masks per video folder
     (reference vos_raw_dataset.py:196-287)."""
@@ -416,75 +526,147 @@ class RandomVerticalFlip:
         return dp
 
 
+def affine_get_params(degrees, translate, scale_ranges, shears, img_size):
+    """Sample (angle, (tx, ty), scale, (shear_x, shear_y)) with torchvision
+    T.RandomAffine.get_params semantics (the reference samples through it,
+    transforms.py:390-412): translate fractions scale by image size and round
+    to INTEGER pixels; a scalar shear range means x-shear only."""
+    angle = random.uniform(degrees[0], degrees[1])
+    tx = ty = 0
+    if translate is not None:
+        max_dx = float(translate[0]) * img_size[0]
+        max_dy = float(translate[1]) * img_size[1]
+        tx = int(round(random.uniform(-max_dx, max_dx)))
+        ty = int(round(random.uniform(-max_dy, max_dy)))
+    scale = random.uniform(scale_ranges[0], scale_ranges[1]) if scale_ranges else 1.0
+    shear_x = shear_y = 0.0
+    if shears is not None:
+        shear_x = random.uniform(shears[0], shears[1])
+        if len(shears) == 4:
+            shear_y = random.uniform(shears[2], shears[3])
+    return angle, (tx, ty), scale, (shear_x, shear_y)
+
+
+def affine_inverse_matrix(center, angle, translate, scale, shear):
+    """torchvision's inverse affine matrix (output->input mapping;
+    torchvision.transforms.functional._get_inverse_affine_matrix with
+    inverted=True): rotation/scale/shear about `center`, then translation.
+    Returned as a 2x3 matrix for cv2.warpAffine(..., WARP_INVERSE_MAP)."""
+    rot = math.radians(angle)
+    sx, sy = (math.radians(s) for s in shear)
+    cx, cy = center
+    tx, ty = translate
+    a = math.cos(rot - sy) / math.cos(sy)
+    b = -math.cos(rot - sy) * math.tan(sx) / math.cos(sy) - math.sin(rot)
+    c = math.sin(rot - sy) / math.cos(sy)
+    d = -math.sin(rot - sy) * math.tan(sx) / math.cos(sy) + math.cos(rot)
+    m = [d / scale, -b / scale, 0.0, -c / scale, a / scale, 0.0]
+    m[2] += m[0] * (-cx - tx) + m[1] * (-cy - ty)
+    m[5] += m[3] * (-cx - tx) + m[4] * (-cy - ty)
+    m[2] += cx
+    m[5] += cy
+    return np.asarray(m, np.float64).reshape(2, 3)
+
+
 class RandomAffine:
-    """Consistent affine with retry-until-objects-visible
-    (reference transforms.py:332-430)."""
+    """Random affine with retry-until-first-frame-objects-visible (reference
+    transforms.py:332-441). Full argument fidelity:
+
+    - `consistent_transform=False` re-samples the affine PER FRAME
+      (transforms.py:404-412);
+    - images warp with `image_interpolation` ('bilinear'/'bicubic'; anything
+      else raises like the reference, transforms.py:362-367) and fill with
+      `image_mean` (reference default (123,116,103) on the 0-255 scale —
+      converted to this pipeline's 0-1 float scale); masks warp nearest with
+      fill 0;
+    - parameter sampling matches torchvision get_params (integer-pixel
+      translations, scalar shear = x-only);
+    - if any first-frame object disappears, the tentative is discarded and the
+      ORIGINAL datapoint is returned after `num_tentatives` failures
+      (transforms.py:372-383,418-426; reference default num_tentatives=1 —
+      kept at 10 here like our samplers' retry budget, configurable)."""
 
     def __init__(
         self,
         degrees: float = 25.0,
-        shear: float = 20.0,
+        shear=20.0,
         translate=None,
         scale=None,
-        image_interpolation: str = "bilinear",
+        image_interpolation: str = "bicubic",
+        image_mean=(123, 116, 103),
         consistent_transform: bool = True,
         num_retries: int = 10,
         p: float = 1.0,
     ):
-        self.degrees = degrees
-        self.shear = shear
+        self.degrees = list(degrees) if isinstance(degrees, (list, tuple)) else [-degrees, degrees]
+        self.shear = (
+            list(shear) if isinstance(shear, (list, tuple))
+            else ([-shear, shear] if shear else None)
+        )
         self.translate = translate
         self.scale = tuple(scale) if scale else None
+        if image_interpolation == "bicubic":
+            self.interp = cv2.INTER_CUBIC if cv2 is not None else None
+        elif image_interpolation == "bilinear":
+            self.interp = cv2.INTER_LINEAR if cv2 is not None else None
+        else:
+            raise NotImplementedError(
+                f"image_interpolation={image_interpolation!r} (reference "
+                "transforms.py:362-367 supports bicubic/bilinear only)"
+            )
+        # reference fill is on the 0-255 PIL scale; this pipeline's images are
+        # 0-1 floats at affine time (normalization comes later)
+        self.fill = tuple(float(c) / 255.0 for c in image_mean)
+        self.consistent_transform = consistent_transform
         self.num_retries = num_retries
         self.p = p  # FLARE config applies a second affine with p=0.1
 
     def _matrix(self, h, w):
-        angle = random.uniform(-self.degrees, self.degrees)
-        shear_x = random.uniform(-self.shear, self.shear)
-        tx = ty = 0.0
-        if self.translate:
-            t = self.translate if isinstance(self.translate, (int, float)) else self.translate[0]
-            tx = random.uniform(-t, t) * w
-            ty = random.uniform(-t, t) * h
-        zoom = random.uniform(*self.scale) if self.scale else 1.0
-        center = (w / 2.0, h / 2.0)
-        rot = cv2.getRotationMatrix2D(center, angle, zoom)
-        sh = np.tan(np.deg2rad(shear_x))
-        shear_m = np.array([[1, sh, -sh * center[1]], [0, 1, 0]], np.float64)
-        m = np.vstack([rot, [0, 0, 1]]) @ np.vstack([shear_m, [0, 0, 1]])
-        m[0, 2] += tx
-        m[1, 2] += ty
-        return m[:2]
+        params = affine_get_params(
+            self.degrees, self.translate, self.scale, self.shear, (w, h)
+        )
+        # torchvision rotates about the geometric image center, which in
+        # cv2's pixel-center coordinates is (w/2 - 0.5, h/2 - 0.5)
+        return affine_inverse_matrix((w * 0.5 - 0.5, h * 0.5 - 0.5), *params)
+
+    def _tentative(self, dp: VideoDatapoint):
+        h, w = dp.images[0].shape[:2]
+        m = self._matrix(h, w) if self.consistent_transform else None
+        new_masks, new_images = [], []
+        for idx, (img, frame) in enumerate(zip(dp.images, dp.masks)):
+            mi = m if m is not None else self._matrix(h, w)
+            fm = {}
+            for k, mask in frame.items():
+                warped = cv2.warpAffine(
+                    mask.astype(np.uint8), mi, (w, h),
+                    flags=cv2.INTER_NEAREST | cv2.WARP_INVERSE_MAP,
+                    borderValue=0,
+                ).astype(bool)
+                # a first-frame object vanished -> discard this tentative
+                # (reference transforms.py:418-426 checks img_idx == 0)
+                if idx == 0 and mask.any() and not warped.any():
+                    return None
+                fm[k] = warped
+            new_masks.append(fm)
+            new_images.append(
+                cv2.warpAffine(
+                    img, mi, (w, h),
+                    flags=self.interp | cv2.WARP_INVERSE_MAP,
+                    borderValue=self.fill,
+                )
+            )
+        dp.images = new_images
+        dp.masks = new_masks
+        return dp
 
     def __call__(self, dp: VideoDatapoint) -> VideoDatapoint:
         if cv2 is None or random.random() >= self.p:
             return dp
-        h, w = dp.images[0].shape[:2]
         for _ in range(self.num_retries):
-            m = self._matrix(h, w)
-            new_masks = []
-            ok = True
-            for frame in dp.masks:
-                fm = {}
-                for k, mask in frame.items():
-                    warped = cv2.warpAffine(
-                        mask.astype(np.uint8), m, (w, h), flags=cv2.INTER_NEAREST
-                    ).astype(bool)
-                    fm[k] = warped
-                new_masks.append(fm)
-            # every object visible on the first frame must stay visible
-            for k, mask in dp.masks[0].items():
-                if mask.sum() and not new_masks[0][k].sum():
-                    ok = False
-                    break
-            if ok:
-                dp.images = [
-                    cv2.warpAffine(img, m, (w, h), flags=cv2.INTER_LINEAR)
-                    for img in dp.images
-                ]
-                dp.masks = new_masks
-                return dp
-        return dp  # give up on augmenting (reference keeps original after retries)
+            res = self._tentative(dp)
+            if res is not None:
+                return res
+        return dp  # give up on augmenting (reference transforms.py:377-383)
 
 
 class RandomResizeAPI:
