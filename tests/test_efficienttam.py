@@ -239,3 +239,47 @@ def test_efficient_rope1_landmark_fixture_parity():
     np.testing.assert_allclose(
         np.asarray(out), fx["out"], rtol=2e-4, atol=2e-4
     )
+
+
+def test_efficient_rope2_landmark_fixture_parity():
+    """EfficientRoPEAttention2 (efficient_track_anything/modeling/sam/
+    transformer.py:430-532): same landmark pooling, but the 2*log(2) area
+    compensation is added to the pooled K VALUES (not as a logit bias) before
+    a plain SDPA. Closes the last SURVEY §2.1 inventory cell."""
+    import numpy as np
+
+    from tests.conftest import require_fixture
+
+    from us_video_medsam2_tpu.core.import_torch import _lin
+    from us_video_medsam2_tpu.models.transformer import RoPEAttention
+    from us_video_medsam2_tpu.ops.posenc import compute_axial_rope, rope_halfsplit_perm
+
+    fx = np.load(require_fixture("efficient_rope2.npz"))
+    dim, heads, hw, n_ptr = 64, 1, 16, int(fx["n_ptr"])
+    perm = rope_halfsplit_perm(dim, heads)
+    params = {}
+    for p in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        kern = _lin(fx[f"sd.{p}.weight"])
+        bias = fx[f"sd.{p}.bias"]
+        if p in ("q_proj", "k_proj"):
+            kern, bias = kern[:, perm], bias[perm]
+        params[p] = {"kernel": jnp.asarray(kern), "bias": jnp.asarray(bias)}
+
+    cos, sin = compute_axial_rope(dim // heads, hw, hw, 10000.0)
+    mod = RoPEAttention(embedding_dim=dim, num_heads=heads, kv_in_dim=16, dropout=0.1)
+    q = jnp.asarray(fx["q"])
+    k = jnp.asarray(fx["k"])
+    lk = k.shape[1]
+    out = mod.apply(
+        {"params": params},
+        q, k, k, cos, sin,
+        rope_k_len=lk - n_ptr,
+        rope_k_repeat=True,
+        deterministic=True,
+        landmark_pool=2,
+        spatial_hw=(hw, hw),
+        landmark_variant=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), fx["out"], rtol=2e-4, atol=2e-4
+    )

@@ -203,16 +203,24 @@ def gen_temporal_fusion_fixtures():
 
 
 def gen_efficient_rope_fixture():
-    """Golden fixture for EfficientTAM's landmark-pooled cross-attention
-    (reference efficient_track_anything/modeling/sam/transformer.py:317-425,
-    EfficientRoPEAttention1): rotated spatial K/V avg-pooled 2x per memory
-    slot with +2*log(2) logit bias, object-pointer keys unpooled/unrotated."""
+    """Golden fixtures for EfficientTAM's landmark-pooled cross-attention
+    (reference efficient_track_anything/modeling/sam/transformer.py):
+      variant 1 (:317-425): +2*log(2) LOGIT bias on landmark columns;
+      variant 2 (:430-532): 2*log(2) VALUE offset on pooled keys, plain SDPA.
+    Rotated spatial K/V avg-pooled 2x per memory slot, object-pointer keys
+    unpooled/unrotated."""
     from efficient_track_anything.modeling.sam.transformer import (
         EfficientRoPEAttention1,
+        EfficientRoPEAttention2,
     )
 
+    for variant, cls in ((1, EfficientRoPEAttention1), (2, EfficientRoPEAttention2)):
+        _gen_one_efficient_rope(variant, cls)
+
+
+def _gen_one_efficient_rope(variant, cls):
     dim, heads, kv_dim, hw, n_slots, n_ptr = 64, 1, 16, 16, 3, 8
-    mod = EfficientRoPEAttention1(
+    mod = cls(
         embedding_dim=dim,
         num_heads=heads,
         downsample_rate=1,
@@ -242,8 +250,8 @@ def gen_efficient_rope_fixture():
     data = {"q": q, "k": k, "out": out.numpy(), "n_ptr": np.array(n_ptr)}
     for key, val in mod.state_dict().items():
         data[f"sd.{key}"] = val.detach().float().numpy()
-    np.savez_compressed(OUT / "efficient_rope1.npz", **data)
-    print("wrote", OUT / "efficient_rope1.npz")
+    np.savez_compressed(OUT / f"efficient_rope{variant}.npz", **data)
+    print("wrote", OUT / f"efficient_rope{variant}.npz")
 
 
 def main():

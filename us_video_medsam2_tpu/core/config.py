@@ -101,13 +101,19 @@ class MemoryAttentionConfig:
     rope_theta: float = 10000.0
     rope_feat_sizes: Tuple[int, int] = (32, 32)
     kv_in_dim: int = 64
-    # force the Pallas flash kernel for the memory cross-attention regardless
-    # of the shape gate — set by the batched serving path, where XLA's fused
-    # softmax+AV degenerates under vmap (inference/serve.py)
+    # opt-in: engage the Pallas flash kernel for the memory cross-attention at
+    # batch 1 (skips only the batch>=2 heuristic gate; the VMEM/alignment
+    # guards in kernels/flash_attention.py::flash_attention_available still
+    # apply). The batched serving path (inference/serve.py) does NOT need this:
+    # its batch>=2 shapes pass the default gate.
     force_flash: bool = False
     # EfficientTAM-style landmark pooling of spatial memory K/V (0 = off); mirrors
     # efficient_track_anything/modeling/sam/transformer.py:378-415.
     efficient_pool_size: int = 0
+    # landmark area-compensation variant: 1 = logit bias (EfficientRoPEAttention1,
+    # the one wired in shipped configs), 2 = value offset on pooled keys
+    # (EfficientRoPEAttention2, transformer.py:430-532)
+    efficient_pool_variant: int = 1
 
 
 @dataclass(frozen=True)

@@ -87,6 +87,7 @@ class MemoryAttentionLayer(nn.Module):
             deterministic=deterministic,
             landmark_pool=cfg.efficient_pool_size,
             spatial_hw=cfg.rope_feat_sizes,
+            landmark_variant=getattr(cfg, "efficient_pool_variant", 1),
         )
         tgt = tgt + drop("dropout2")(tgt2, deterministic=deterministic)
 

@@ -85,12 +85,17 @@ class RoPEAttention(nn.Module):
         deterministic: bool = True,
         landmark_pool: int = 0,
         spatial_hw: Optional[tuple] = None,
+        landmark_variant: int = 1,
     ):
         """landmark_pool > 1 enables EfficientTAM's landmark cross-attention:
         the rotated spatial-memory K/V are avg-pooled (landmark_pool x) per
-        memory slot with a +2*log(pool) logit bias (area compensation), while
-        object-pointer tokens stay unpooled (reference
-        efficient_track_anything/modeling/sam/transformer.py:369-424)."""
+        memory slot, while object-pointer tokens stay unpooled. The area
+        compensation differs per variant (reference
+        efficient_track_anything/modeling/sam/transformer.py):
+          variant 1 (:369-424): +2*log(pool) as a LOGIT bias on landmark cols;
+          variant 2 (:430-532): 2*log(pool) added to the pooled K VALUES
+            themselves before a plain SDPA (the logit offset then scales with
+            sum_d q_d — faithfully ported, quirk and all)."""
         internal_dim = self.embedding_dim // self.downsample_rate
         q = nn.Dense(internal_dim, dtype=self.dtype, name="q_proj")(q)
         k = nn.Dense(internal_dim, dtype=self.dtype, name="k_proj")(k)
@@ -124,7 +129,8 @@ class RoPEAttention(nn.Module):
 
         if landmark_pool > 1 and n_rope > q.shape[-2]:
             out = self._landmark_attention(
-                q, k, v, n_rope, landmark_pool, spatial_hw, key_mask
+                q, k, v, n_rope, landmark_pool, spatial_hw, key_mask,
+                variant=landmark_variant,
             )
         elif self.dropout > 0.0 and not deterministic:
             # attention-weight dropout (reference transformer.py:340-344); manual
@@ -150,7 +156,7 @@ class RoPEAttention(nn.Module):
         return nn.Dense(self.embedding_dim, dtype=self.dtype, name="out_proj")(out)
 
     @staticmethod
-    def _landmark_attention(q, k, v, n_rope, pool, spatial_hw, key_mask):
+    def _landmark_attention(q, k, v, n_rope, pool, spatial_hw, key_mask, variant=1):
         import math
 
         from us_video_medsam2_tpu.ops.attention import NEG_INF
@@ -165,6 +171,10 @@ class RoPEAttention(nn.Module):
 
         k_land = pool_tokens(k)
         v_land = pool_tokens(v)
+        if variant == 2:
+            # EfficientRoPEAttention2 (:430-532): area compensation as a VALUE
+            # offset on the pooled keys, then plain SDPA (no logit bias)
+            k_land = k_land + 2.0 * math.log(pool)
         k_full = jnp.concatenate([k_land, k[:, :, n_rope:]], axis=2)
         v_full = jnp.concatenate([v_land, v[:, :, n_rope:]], axis=2)
 
@@ -174,13 +184,14 @@ class RoPEAttention(nn.Module):
             * scale
         )
         n_land = k_land.shape[2]
-        bias = jnp.concatenate(
-            [
-                jnp.full((n_land,), 2.0 * math.log(pool), jnp.float32),
-                jnp.zeros((k.shape[2] - n_rope,), jnp.float32),
-            ]
-        )
-        logits = logits + bias[None, None, None, :]
+        if variant == 1:
+            bias = jnp.concatenate(
+                [
+                    jnp.full((n_land,), 2.0 * math.log(pool), jnp.float32),
+                    jnp.zeros((k.shape[2] - n_rope,), jnp.float32),
+                ]
+            )
+            logits = logits + bias[None, None, None, :]
         if key_mask is not None:
             # pool the mask: slot validity is uniform over its tokens
             m_sp = key_mask[:, :n_rope].reshape(b, n_slots, hh * ww)[:, :, :: pool * pool]
