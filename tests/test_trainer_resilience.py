@@ -202,3 +202,99 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     save_checkpoint_any(path2, state, skip_patterns=["opt/*"], backend="orbax")
     got2 = restore_checkpoint_any(path2)
     assert "opt" not in got2 or not got2["opt"]
+
+
+def test_checkpoint_rope_layout_marker(tmp_path):
+    """Saved checkpoints carry a rope-layout format marker; restoring an
+    UNMARKED checkpoint that contains RoPE q/k projections raises instead of
+    silently loading torch-interleaved weights (ADVICE r2, docs/PARITY.md #13),
+    and assume_rope_layout='interleaved' migrates them exactly like the torch
+    importer (core/import_torch.py::_map_attention)."""
+    import json
+
+    from us_video_medsam2_tpu.core.checkpoint import (
+        read_checkpoint_format,
+        restore_checkpoint,
+        restore_params,
+        save_checkpoint,
+    )
+    from us_video_medsam2_tpu.ops.posenc import rope_halfsplit_perm
+
+    rng = np.random.default_rng(0)
+    dim, heads = 16, 2
+    kern = rng.normal(size=(dim, dim)).astype(np.float32)
+    bias = rng.normal(size=(dim,)).astype(np.float32)
+    params = {
+        "memory_attention": {
+            "layers_0": {
+                "self_attn": {"q_proj": {"kernel": kern, "bias": bias}},
+                "cross_attn_image": {"k_proj": {"kernel": kern * 2, "bias": bias * 2}},
+            }
+        },
+        # decoder self_attn is NOT under memory_attention -> never permuted
+        "mask_decoder": {"transformer": {"layers_0": {"self_attn": {
+            "q_proj": {"kernel": kern * 3, "bias": bias * 3}}}}},
+    }
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, {"params": params})
+    fmt = read_checkpoint_format(path)
+    assert fmt["rope_layout"] == "halfsplit" and fmt["version"] >= 2
+
+    got = restore_params(path)  # marked -> loads clean, marker stripped
+    assert "_ckpt_format" not in got
+    np.testing.assert_array_equal(
+        got["memory_attention"]["layers_0"]["self_attn"]["q_proj"]["kernel"], kern
+    )
+
+    # strip the marker to simulate a pre-marker checkpoint
+    meta = json.loads(open(path[:-4] + ".meta.json").read())
+    meta = {k: v for k, v in meta.items() if not k.startswith("_ckpt_format/")}
+    json.dump(meta, open(path[:-4] + ".meta.json", "w"))
+    with pytest.raises(RuntimeError, match="RoPE"):
+        restore_checkpoint(path)
+    # explicit halfsplit assumption -> accepted as-is
+    got = restore_params(path, assume_rope_layout="halfsplit")
+    np.testing.assert_array_equal(
+        got["memory_attention"]["layers_0"]["self_attn"]["q_proj"]["kernel"], kern
+    )
+    # interleaved assumption -> permuted like the importer
+    got = restore_params(path, assume_rope_layout="interleaved", rope_num_heads=heads)
+    perm = rope_halfsplit_perm(dim, heads)
+    np.testing.assert_array_equal(
+        got["memory_attention"]["layers_0"]["self_attn"]["q_proj"]["kernel"],
+        kern[:, perm],
+    )
+    np.testing.assert_array_equal(
+        got["memory_attention"]["layers_0"]["cross_attn_image"]["k_proj"]["bias"],
+        (bias * 2)[perm],
+    )
+    # non-RoPE module untouched
+    np.testing.assert_array_equal(
+        got["mask_decoder"]["transformer"]["layers_0"]["self_attn"]["q_proj"]["kernel"],
+        kern * 3,
+    )
+
+
+def test_resume_prefers_newer_artifact(tmp_path):
+    """After switching checkpoint backends mid-run, resume picks the NEWER of
+    checkpoint.npz vs the orbax directory by mtime (ADVICE r2)."""
+    import time
+
+    from us_video_medsam2_tpu.core.checkpoint import (
+        get_resume_checkpoint,
+        save_checkpoint,
+        save_checkpoint_any,
+    )
+
+    save_dir = str(tmp_path)
+    state = {"params": {"w": np.ones((2,), np.float32)}, "step": 1}
+    save_checkpoint(os.path.join(save_dir, "checkpoint.npz"), state)
+    assert get_resume_checkpoint(save_dir).endswith("checkpoint.npz")
+
+    time.sleep(0.05)
+    save_checkpoint_any(os.path.join(save_dir, "checkpoint"), state, backend="orbax")
+    assert get_resume_checkpoint(save_dir).endswith(os.sep + "checkpoint")
+
+    time.sleep(0.05)
+    save_checkpoint(os.path.join(save_dir, "checkpoint.npz"), state)
+    assert get_resume_checkpoint(save_dir).endswith("checkpoint.npz")

@@ -23,6 +23,102 @@ import numpy as np
 
 _EMPTY = "__empty_dict__"
 
+# --------------------------------------------------------------- format marker
+# RoPE q/k projections are stored channel-permuted into the half-split layout
+# expected by apply_rope_halfsplit (ops/posenc.py::rope_halfsplit_perm,
+# docs/PARITY.md #13). Checkpoints written before that change hold torch's
+# interleaved RoPE-pair layout and would load without error but silently
+# produce wrong memory-attention outputs. Every save therefore stamps a format
+# marker, and every restore of a tree containing RoPE projections checks it.
+
+CKPT_FORMAT_VERSION = 2
+CKPT_ROPE_LAYOUT = "halfsplit"
+_FORMAT_PREFIX = "_ckpt_format/"
+_ORBAX_FORMAT_FILE = "us_medsam2_ckpt_format.json"
+
+
+def _format_scalars() -> Dict[str, Any]:
+    return {
+        _FORMAT_PREFIX + "version": CKPT_FORMAT_VERSION,
+        _FORMAT_PREFIX + "rope_layout": CKPT_ROPE_LAYOUT,
+    }
+
+
+def _is_rope_proj(key: str) -> bool:
+    """True for flat '/'-joined paths of RoPE-rotated q/k projections (only the
+    memory-attention self/cross attention modules apply RoPE; the mask decoder's
+    `self_attn` is plain attention and is never permuted)."""
+    return (
+        "memory_attention/" in key
+        and ("/self_attn/" in key or "/cross_attn_image/" in key)
+        and (
+            key.endswith("q_proj/kernel")
+            or key.endswith("q_proj/bias")
+            or key.endswith("k_proj/kernel")
+            or key.endswith("k_proj/bias")
+        )
+    )
+
+
+def migrate_rope_layout(params: Dict, num_heads: int) -> Dict:
+    """Permute the RoPE q/k projections of an old interleaved-layout tree into
+    the half-split layout — the same transform the torch importer applies
+    (core/import_torch.py::_map_attention)."""
+    from us_video_medsam2_tpu.ops.posenc import rope_halfsplit_perm
+
+    flat = _flatten(params)
+    out = {}
+    for k, v in flat.items():
+        if _is_rope_proj(k):
+            v = np.asarray(v)
+            perm = rope_halfsplit_perm(v.shape[-1], num_heads)
+            v = v[..., perm]
+        out[k] = v
+    return _unflatten(out)
+
+
+def _check_rope_layout(
+    flat: Dict[str, Any],
+    fmt: Dict[str, Any],
+    path: str,
+    assume_rope_layout: Optional[str],
+    rope_num_heads: Optional[int],
+) -> Dict[str, Any]:
+    """Validate/migrate the RoPE projection layout of a restored flat tree."""
+    rope_keys = [k for k in flat if _is_rope_proj(k)]
+    if not rope_keys:
+        return flat
+    layout = fmt.get("rope_layout", assume_rope_layout)
+    if layout == CKPT_ROPE_LAYOUT:
+        return flat
+    if layout == "interleaved":
+        if rope_num_heads is None:
+            raise RuntimeError(
+                f"checkpoint {path!r} has interleaved RoPE layout; pass "
+                "rope_num_heads (memory_attention.num_heads) to migrate it"
+            )
+        import logging
+
+        logging.warning(
+            "checkpoint %s: migrating %d RoPE q/k projections from interleaved "
+            "to half-split layout", path, len(rope_keys)
+        )
+        for k in rope_keys:
+            from us_video_medsam2_tpu.ops.posenc import rope_halfsplit_perm
+
+            v = np.asarray(flat[k])
+            flat[k] = v[..., rope_halfsplit_perm(v.shape[-1], rope_num_heads)]
+        return flat
+    raise RuntimeError(
+        f"checkpoint {path!r} predates the RoPE half-split layout marker "
+        f"(format {fmt or 'none'}): its memory-attention q/k projections may be "
+        "in torch's interleaved layout, which would silently produce wrong "
+        "outputs. If it was saved by this framework after the half-split "
+        "change, pass assume_rope_layout='halfsplit'; if it is older, pass "
+        "assume_rope_layout='interleaved' plus rope_num_heads to migrate "
+        "(or call core.checkpoint.migrate_rope_layout)."
+    )
+
 
 def _flatten(tree, prefix=()):
     out = {}
@@ -91,6 +187,7 @@ def save_checkpoint(path: str, state: Dict, skip_patterns: Optional[List[str]] =
         for k, v in flat.items()
         if not isinstance(v, np.ndarray)
     }
+    scalars.update(_format_scalars())
     tmp = path + ".tmp.npz"
     np.savez(tmp, **arrays)
     os.replace(tmp, path + ".npz" if not path.endswith(".npz") else path)
@@ -101,28 +198,68 @@ def save_checkpoint(path: str, state: Dict, skip_patterns: Optional[List[str]] =
     os.replace(tmp_meta, meta_path)
 
 
-def restore_checkpoint(path: str) -> Dict:
+def restore_checkpoint(
+    path: str,
+    assume_rope_layout: Optional[str] = None,
+    rope_num_heads: Optional[int] = None,
+) -> Dict:
     npz_path = path if path.endswith(".npz") else path + ".npz"
     meta_path = npz_path[:-4] + ".meta.json"
     flat: Dict[str, Any] = dict(np.load(npz_path))
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             flat.update(json.load(f))
+    fmt = {
+        k[len(_FORMAT_PREFIX):]: flat.pop(k)
+        for k in [k for k in flat if k.startswith(_FORMAT_PREFIX)]
+    }
+    flat = _check_rope_layout(flat, fmt, path, assume_rope_layout, rope_num_heads)
     return _unflatten(flat)
 
 
-def restore_params(path: str) -> Dict:
-    state = restore_checkpoint(path)
+def read_checkpoint_format(path: str) -> Dict[str, Any]:
+    """Read the format marker of an npz or orbax checkpoint ({} if unmarked)."""
+    if os.path.isdir(path):
+        fp = os.path.join(path, _ORBAX_FORMAT_FILE)
+        if os.path.exists(fp):
+            with open(fp) as f:
+                return json.load(f)
+        return {}
+    meta_path = (path if path.endswith(".npz") else path + ".npz")[:-4] + ".meta.json"
+    if not os.path.exists(meta_path):
+        return {}
+    with open(meta_path) as f:
+        meta = json.load(f)
+    return {
+        k[len(_FORMAT_PREFIX):]: v
+        for k, v in meta.items()
+        if k.startswith(_FORMAT_PREFIX)
+    }
+
+
+def restore_params(
+    path: str,
+    assume_rope_layout: Optional[str] = None,
+    rope_num_heads: Optional[int] = None,
+) -> Dict:
+    state = restore_checkpoint(path, assume_rope_layout, rope_num_heads)
     return state.get("params", state)
 
 
 def get_resume_checkpoint(save_dir: str) -> Optional[str]:
-    """(reference train_utils.py:281-288); finds either backend's artifact."""
-    path = os.path.join(save_dir, "checkpoint.npz")
-    if os.path.exists(path):
-        return path
+    """(reference train_utils.py:281-288); finds either backend's artifact.
+    When both an npz file and an orbax directory exist (e.g. after switching
+    checkpoint_backend mid-run), the newer one by mtime wins so resume never
+    silently restores a stale artifact."""
+    npz_path = os.path.join(save_dir, "checkpoint.npz")
     orbax_dir = os.path.join(save_dir, "checkpoint")
-    if os.path.isdir(orbax_dir):
+    have_npz = os.path.exists(npz_path)
+    have_orbax = os.path.isdir(orbax_dir)
+    if have_npz and have_orbax:
+        return npz_path if os.path.getmtime(npz_path) >= os.path.getmtime(orbax_dir) else orbax_dir
+    if have_npz:
+        return npz_path
+    if have_orbax:
         return orbax_dir
     return None
 
@@ -188,9 +325,16 @@ def save_checkpoint_orbax(path: str, state: Dict,
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)
         ckptr.wait_until_finished()
+    with open(os.path.join(path, _ORBAX_FORMAT_FILE), "w") as f:
+        json.dump({"version": CKPT_FORMAT_VERSION, "rope_layout": CKPT_ROPE_LAYOUT}, f)
 
 
-def restore_checkpoint_orbax(path: str, target: Optional[Dict] = None) -> Dict:
+def restore_checkpoint_orbax(
+    path: str,
+    target: Optional[Dict] = None,
+    assume_rope_layout: Optional[str] = None,
+    rope_num_heads: Optional[int] = None,
+) -> Dict:
     """Restore an Orbax checkpoint directory. When `target` (a pytree of
     jax.ShapeDtypeStruct or arrays, possibly with shardings) is given, arrays
     are restored directly onto the target's shardings/devices."""
@@ -202,8 +346,14 @@ def restore_checkpoint_orbax(path: str, target: Optional[Dict] = None) -> Dict:
             from flax import serialization
 
             target = serialization.to_state_dict(target)
-            return ckptr.restore(path, target)
-        return ckptr.restore(path)
+            state = ckptr.restore(path, target)
+        else:
+            state = ckptr.restore(path)
+    fmt = read_checkpoint_format(path)
+    flat = _check_rope_layout(
+        _flatten(state), fmt, path, assume_rope_layout, rope_num_heads
+    )
+    return _unflatten(flat)
 
 
 def save_checkpoint_any(path: str, state: Dict,
@@ -216,7 +366,12 @@ def save_checkpoint_any(path: str, state: Dict,
     return save_checkpoint(path, state, skip_patterns)
 
 
-def restore_checkpoint_any(path: str, target: Optional[Dict] = None) -> Dict:
+def restore_checkpoint_any(
+    path: str,
+    target: Optional[Dict] = None,
+    assume_rope_layout: Optional[str] = None,
+    rope_num_heads: Optional[int] = None,
+) -> Dict:
     if os.path.isdir(path):
-        return restore_checkpoint_orbax(path, target)
-    return restore_checkpoint(path)
+        return restore_checkpoint_orbax(path, target, assume_rope_layout, rope_num_heads)
+    return restore_checkpoint(path, assume_rope_layout, rope_num_heads)
