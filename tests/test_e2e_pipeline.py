@@ -148,3 +148,56 @@ def test_checkpoint_reload_through_build(npz_dataset, tmp_path):
     )
     frames = [fi for fi, _, _ in predictor.propagate_in_video(state)]
     assert frames == [0, 1, 2]
+
+
+def test_verify_real_ckpt_harness(npz_dataset, tmp_path):
+    """tools/verify_real_ckpt.py end to end: train a tiny checkpoint, then the
+    one-command verifier imports it, runs the reference video-eval protocol
+    (medsam2_infer_video.py:390-469), writes the CSV, and gates on Dice."""
+    import sys
+
+    from us_video_medsam2_tpu.apps.train import main as train_main
+
+    out = tmp_path / "work"
+    train_main(
+        [
+            "--data_dir", npz_dataset,
+            "--out_dir", str(out),
+            "--cfg", "tiny64_test",
+            "--epochs", "1",
+            "--num_frames", "2",
+            "--max_num_objects", "2",
+            "--resolution", "64",
+            "--curriculum", "none",
+        ]
+    )
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import verify_real_ckpt
+
+    eval_dir = tmp_path / "verify"
+    rc = verify_real_ckpt.main(
+        [
+            str(out / "checkpoint.npz"),
+            "--data_dir", npz_dataset,
+            "--cfg", "tiny64_test",
+            "--out_dir", str(eval_dir),
+            "--cases", "2",
+        ]
+    )
+    assert rc == 0
+    csv_path = eval_dir / "evaluation_summary.csv"
+    rows = open(csv_path).read().strip().splitlines()
+    assert rows[0].startswith("video,class")
+    assert any(r.startswith("ALL,") for r in rows)
+    # an untrained tiny model cannot hit Dice 0.99 -> the gate must FAIL
+    rc = verify_real_ckpt.main(
+        [
+            str(out / "checkpoint.npz"),
+            "--data_dir", npz_dataset,
+            "--cfg", "tiny64_test",
+            "--out_dir", str(eval_dir),
+            "--cases", "1",
+            "--expect_dice", "0.999",
+        ]
+    )
+    assert rc == 1
