@@ -151,6 +151,8 @@ class SessionManager:
             self._last_used[key] = time.monotonic()
 
     def get(self, key: str):
+        """Raises KeyError when the session was reaped (max_idle_s) or closed;
+        UI callbacks must translate that into a user-facing error."""
         with self._lock:
             sess = self._sessions[key]
             self._last_used[key] = time.monotonic()
@@ -214,8 +216,16 @@ def build_demo(
         sessions.put(request.session_hash, sess)
         return sess.overlay_frame(0), gr.update(maximum=len(sess.raw) - 1, value=0)
 
+    def _get_session(request: "gr.Request"):
+        try:
+            return sessions.get(request.session_hash)
+        except KeyError:
+            # the idle reaper (or unload) dropped the session; surface a
+            # user-facing message instead of a generic server error
+            raise gr.Error("session expired — reload the video") from None
+
     def on_click(frame_idx, obj_id, positive, evt: "gr.SelectData", request: "gr.Request"):
-        sess = sessions.get(request.session_hash)
+        sess = _get_session(request)
         x, y = evt.index
         obj_ids, masks = sess.click(
             int(frame_idx), int(obj_id), float(x), float(y), bool(positive)
@@ -224,7 +234,7 @@ def build_demo(
         return sess.overlay_frame(int(frame_idx))
 
     def on_track(request: "gr.Request"):
-        sess = sessions.get(request.session_hash)
+        sess = _get_session(request)
         sess.track()
         out_dir = tempfile.mkdtemp(prefix="uvms2_")
         mp4, zf = sess.export(out_dir)

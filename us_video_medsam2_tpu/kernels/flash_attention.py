@@ -132,9 +132,12 @@ def flash_attention_masked(
     return out.reshape(b, h, lqp, d)[:, :, :lq0]
 
 
-def flash_attention_available(q_shape, k_shape, dtype=None) -> bool:
+def flash_attention_available(q_shape, k_shape, dtype=None, min_batch: int = 2) -> bool:
     """Whether the Pallas path applies: TPU backend, lane-aligned head dim, and
-    K/V fitting comfortably in VMEM (current kernel keeps full K/V resident)."""
+    K/V fitting comfortably in VMEM (current kernel keeps full K/V resident).
+
+    `min_batch` tunes only the heuristic batch gate (force_flash callers pass 1
+    to engage at batch 1); the hard VMEM/alignment requirements always hold."""
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:  # noqa: BLE001
@@ -150,7 +153,7 @@ def flash_attention_available(q_shape, k_shape, dtype=None) -> bool:
     # it wins only from batch 2 upward (multi-object tracking, batched prompts)
     return (
         on_tpu
-        and batch >= 2
+        and batch >= min_batch
         and d % 128 == 0
         and q_shape[-2] >= 128
         and kv_bytes <= 11 * 2**20

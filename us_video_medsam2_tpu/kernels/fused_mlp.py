@@ -8,11 +8,15 @@ propagation step). This kernel streams token tiles through VMEM: per tile it
 reads x once, computes the f32 LN statistics, both matmuls and the activation
 in VMEM, and writes only the residual-added output.
 
-Numerics match the XLA module path at bf16: f32 LN statistics, bf16 matmul
-inputs with f32 MXU accumulation rounded back to bf16 between layers, exact
-(erf) GELU evaluated in f32. Used only when dtype is bf16 on TPU; every call
-site keeps the XLA fallback (models/layers.py MLP) and parity is tested in
-interpret mode in tests/test_fused_mlp.py.
+Numerics match the XLA module path within bf16 rounding (not bit-exactly): f32
+LN statistics and f32 MXU accumulation like XLA, but GELU uses a clamped
+polynomial erf (|err| ~1.2e-4, below bf16 resolution), f32 biases are added to
+the f32 accumulator before the bf16 round (flax Dense rounds first, then adds
+a bf16 bias), and the custom-VJP backward recomputes through _xla_ref rather
+than the forward's exact ops — all sub-bf16-ulp drift in practice, and the
+test tolerances in tests/test_fused_mlp.py reflect exactly this contract.
+Used only when dtype is bf16 on TPU; every call site keeps the XLA fallback
+(models/layers.py MLP) and parity is tested in interpret mode.
 """
 
 from __future__ import annotations

@@ -46,12 +46,14 @@ def sdpa(
             flash_attention_available,
         )
 
-        # force_flash: the caller knows better than the shape gate — used by
-        # the vmapped serving path, where XLA's softmax+AV output fusion
-        # degenerates into per-tile recompute (619 of 759 ms in the round-2
-        # serve trace) while the Pallas kernel batches over an extra grid dim
-        if (force_flash and d % 128 == 0) or flash_attention_available(
-            q.shape, k.shape, k.dtype
+        # force_flash: opt-in override of the batch>=2 heuristic gate (e.g. for
+        # vmapped layouts where XLA's softmax+AV fusion degenerates into
+        # per-tile recompute — 619 of 759 ms in the round-2 serve trace). It
+        # only skips the batch/query-length heuristics; the hard requirements
+        # (TPU backend, lane-aligned head dim, K/V fits in VMEM) still apply —
+        # flash_attention_available(min_batch=1) keeps those guards.
+        if flash_attention_available(
+            q.shape, k.shape, k.dtype, min_batch=1 if force_flash else 2
         ):
             return flash_attention(q, k, v, key_mask)
     logits = jnp.einsum(
