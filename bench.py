@@ -2,15 +2,24 @@
 
 Port of reference efficient_track_anything/benchmark.py:44-106: prompt frame 0
 with a click, propagate through the video, report frames/sec. Here the whole
-propagation is one compiled lax.scan on device, bf16 compute.
+propagation is one compiled lax.scan on device, bf16 compute, over REAL frames:
+the bundled RECIST CT-lesion NPZ cases (the reference ships them under
+data/RECIST_train_npz and evaluates on them, medsam2_infer_CT_lesion_npz_recist.py)
+so hole filling and all mask-dependent postprocessing see realistic masks, not
+noise. Falls back to synthetic frames only when the reference data dir is absent.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+p50_frame_latency_ms (streaming per-frame latency) and click_p50_ms (p50
+interactive click latency through the one-dispatch prompt path, incl. the
+~30-50 ms per-dispatch tunnel RTT of this environment).
 vs_baseline is against SAM2.1-tiny's published ~47 FPS at 512² on A100-class
 GPUs (reference README.md:156-181 citations; the repo itself commits no numbers,
 BASELINE.md).
 """
 
+import glob
 import json
+import os
 import time
 
 import jax
@@ -18,6 +27,36 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_BASELINE_FPS = 47.0
+RECIST_DIR = "/root/reference/data/RECIST_train_npz"
+IMG_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMG_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def load_real_video(num_frames, image_size):
+    """[T,H,W,3] ImageNet-normalized frames from the bundled RECIST cases plus
+    a frame-0 positive click at the lesion GT centroid (the reference prompts
+    at the key slice; the first case is rotated so its largest-GT slice leads).
+    Cases are concatenated until `num_frames` frames are available."""
+    files = sorted(glob.glob(os.path.join(RECIST_DIR, "*.npz")))
+    if not files:
+        return None, None
+    frames, click = [], None
+    for f in files:
+        case = np.load(f)
+        imgs, gts = case["imgs"], case["gts"]
+        if click is None:  # first case: start at the RECIST key slice
+            start = int(np.argmax((gts > 0).sum(axis=(1, 2))))
+            imgs, gts = imgs[start:], gts[start:]
+            ys, xs = np.nonzero(gts[0])
+            click = np.array([[xs.mean(), ys.mean()]], np.float32)
+        frames.append(imgs)
+        if sum(len(x) for x in frames) >= num_frames:
+            break
+    imgs = np.concatenate(frames)[:num_frames].astype(np.float32) / 255.0
+    if imgs.shape[1:] != (image_size, image_size):
+        raise ValueError(f"RECIST frames are {imgs.shape[1:]}, not {image_size}²")
+    video = (imgs[..., None] - IMG_MEAN) / IMG_STD  # grayscale -> 3ch + normalize
+    return video.astype(np.float32), click
 
 
 def main():
@@ -36,17 +75,20 @@ def main():
     )
 
     predictor = SAM2VideoPredictor(model, params, fill_hole_area=8)
-    rng = np.random.default_rng(0)
-    video = jnp.asarray(
-        rng.standard_normal((num_frames, cfg.image_size, cfg.image_size, 3)),
-        jnp.float32,
-    )
+    video_np, click = load_real_video(num_frames, cfg.image_size)
+    if video_np is None:  # no reference data on this machine — synthetic fallback
+        rng = np.random.default_rng(0)
+        video_np = rng.standard_normal(
+            (num_frames, cfg.image_size, cfg.image_size, 3)
+        ).astype(np.float32)
+        click = np.array([[256.0, 256.0]], np.float32)
+    video = jnp.asarray(video_np)
 
     # setup once; timed runs re-propagate over the same session (the reference
     # harness times propagate_in_video only, benchmark.py:86-106)
     state = predictor.init_state(video, cfg.image_size, cfg.image_size, 1)
     predictor.add_new_points_or_box(
-        state, 0, 1, points=np.array([[256.0, 256.0]]), labels=np.array([1])
+        state, 0, 1, points=click, labels=np.array([1])
     )
     predictor.propagate_in_video_preflight(state)
 
@@ -86,7 +128,7 @@ def main():
     chunk = 8 if on_tpu else 2
     lat_state = predictor.init_state(video, cfg.image_size, cfg.image_size, 1)
     predictor.add_new_points_or_box(
-        lat_state, 0, 1, points=np.array([[256.0, 256.0]]), labels=np.array([1])
+        lat_state, 0, 1, points=click, labels=np.array([1])
     )
     for _ in list(predictor.propagate_in_video(lat_state, chunk_size=chunk)):
         pass  # compile warmup
@@ -95,7 +137,7 @@ def main():
     for _ in range(lat_runs):
         s2 = predictor.init_state(video, cfg.image_size, cfg.image_size, 1)
         predictor.add_new_points_or_box(
-            s2, 0, 1, points=np.array([[256.0, 256.0]]), labels=np.array([1])
+            s2, 0, 1, points=click, labels=np.array([1])
         )
         tprev = time.perf_counter()
         n_since = 0
@@ -107,6 +149,26 @@ def main():
                 tprev, n_since = now, 0
     p50_ms = float(np.median(per_frame_ms)) if per_frame_ms else float("nan")
 
+    # interactive click latency: one add_new_points_or_box call on a warmed
+    # predictor = one fused dispatch (prompt + decode + video-res upsample) +
+    # one host fetch (_store_prompt_output), the latency an app.py user feels
+    # per click (reference re-runs track_step per click and fetches every
+    # object's mask, sam2_video_predictor.py:173-314). Clicks land on distinct
+    # fresh frames — identical shapes, so no recompiles after warmup.
+    click_state = predictor.init_state(video, cfg.image_size, cfg.image_size, 1)
+    n_clicks = 12 if on_tpu else 2
+    predictor.add_new_points_or_box(  # warmup (compile)
+        click_state, 0, 1, points=click, labels=np.array([1])
+    )
+    click_ms = []
+    for i in range(1, n_clicks + 1):
+        t0 = time.perf_counter()
+        predictor.add_new_points_or_box(
+            click_state, i % num_frames, 1, points=click, labels=np.array([1])
+        )
+        click_ms.append(1e3 * (time.perf_counter() - t0))
+    click_p50 = float(np.median(click_ms))
+
     print(
         json.dumps(
             {
@@ -115,6 +177,7 @@ def main():
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
                 "p50_frame_latency_ms": round(p50_ms, 2),
+                "click_p50_ms": round(click_p50, 2),
             }
         )
     )
