@@ -133,22 +133,39 @@ class RoPEAttention(nn.Module):
                 variant=landmark_variant,
             )
         elif self.dropout > 0.0 and not deterministic:
-            # attention-weight dropout (reference transformer.py:340-344); manual
-            # path since the flash kernel doesn't support prob dropout
-            d_h = q.shape[-1]
-            logits = jnp.einsum(
-                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-            ) * (d_h**-0.5)
-            if key_mask is not None:
-                logits = jnp.where(key_mask[:, None, None, :], logits, -1e30)
-            probs = jax.nn.softmax(logits, axis=-1)
-            probs = nn.Dropout(self.dropout, deterministic=False, name="attn_drop")(
-                probs
+            # attention-weight dropout (reference transformer.py:340-344). The
+            # training flash kernel (kernels/flash_dropout.py) keeps the score
+            # matrix tile-resident in fwd AND bwd; its coordinate-hash dropout
+            # mask is reused by the XLA fallback below, so CPU and TPU draw the
+            # identical pattern for a given rng key.
+            from us_video_medsam2_tpu.kernels.flash_dropout import (
+                flash_attention_train,
+                flash_train_available,
+                keep_mask_reference,
             )
-            out = jnp.einsum(
-                "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
-                preferred_element_type=jnp.float32,
-            ).astype(q.dtype)
+
+            seed = jax.lax.bitcast_convert_type(
+                jax.random.bits(self.make_rng("dropout"), (), "uint32"), jnp.int32
+            )
+            if flash_train_available(q.shape, k.shape, k.dtype):
+                out = flash_attention_train(q, k, v, key_mask, seed, self.dropout)
+            else:
+                bsz, h, lq, d_h = q.shape
+                lk = k.shape[-2]
+                logits = jnp.einsum(
+                    "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+                ) * (d_h**-0.5)
+                if key_mask is not None:
+                    logits = jnp.where(key_mask[:, None, None, :], logits, -1e30)
+                probs = jax.nn.softmax(logits, axis=-1)
+                keep = keep_mask_reference(
+                    bsz * h, lq, lk, seed, self.dropout
+                ).reshape(bsz, h, lq, lk)
+                probs = jnp.where(keep, probs / (1.0 - self.dropout), 0.0)
+                out = jnp.einsum(
+                    "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32,
+                ).astype(q.dtype)
         else:
             out = sdpa(q, k, v, key_mask=key_mask, force_flash=self.force_flash)
         b, h, n, d = out.shape
