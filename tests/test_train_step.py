@@ -153,6 +153,21 @@ def test_sharded_train_step_matches_single_device(setup):
         )
 
 
+@pytest.mark.slow
+def test_multiprocess_dryrun_two_hosts():
+    """2-process x 2-virtual-device CPU run through jax.distributed.initialize
+    (the real multi-host init path, parallel/mesh.py::maybe_initialize_distributed):
+    both processes must report the identical global loss. Exercises exactly
+    what scripts/slurm_train.sbatch drives on a pod."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import dryrun_multiprocess
+
+    dryrun_multiprocess(n_procs=2, local_devices=2)
+
+
 def test_prompt_plan_covers_all_modes():
     from us_video_medsam2_tpu.training.train_model import _sample_plan
 
