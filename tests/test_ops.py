@@ -257,3 +257,60 @@ def test_folded_pyramid_matches_direct_convs():
         g_in, cin = g_in // 2, cout
     # final folded layout == true layout (g_out == 1 on the last layer)
     np.testing.assert_allclose(np.asarray(xf), np.asarray(xd), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "hw,ws,dim,heads,q_pool",
+    [
+        ((16, 16), 7, 96, 1, False),  # padded windows (stage-4 geometry)
+        ((128, 128), 8, 192, 2, True),  # stage-1/2 transition (q-pooled)
+        ((64, 64), 4, 96, 2, False),  # 16-token windows: G=8 packing
+        ((32, 32), 14, 384, 4, False),  # stage-3 geometry, heavy padding
+        ((32, 32), 14, 768, 8, True),  # stage-4 transition
+    ],
+)
+def test_window_attention_matches_straightforward_reference(hw, ws, dim, heads, q_pool):
+    """MultiScaleAttention's head-major packed windowed attention
+    (models/hiera.py) matches a straightforward partition -> per-window SDPA
+    -> unpartition computation (reference hieradet.py:39-117 semantics, incl.
+    zero-padded tokens carrying the qkv projection bias)."""
+    import jax
+
+    from us_video_medsam2_tpu.models.hiera import MultiScaleAttention, _max_pool_2x
+    from us_video_medsam2_tpu.ops.window import window_partition, window_unpartition
+
+    h, w = hw
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, h, w, dim), jnp.float32)
+    m = MultiScaleAttention(dim_out=dim, num_heads=heads, q_pool=q_pool)
+    params = m.init(rng, x, window_size=ws)
+    out = m.apply(params, x, window_size=ws)
+
+    # straightforward reference path on the same params
+    kq = np.asarray(params["params"]["qkv"]["kernel"])
+    bq = np.asarray(params["params"]["qkv"]["bias"])
+    kp = np.asarray(params["params"]["proj"]["kernel"])
+    bp = np.asarray(params["params"]["proj"]["bias"])
+    hd = dim // heads
+    xw, pad_hw = window_partition(x, ws)  # [B*nW, ws, ws, dim], zero pads
+    bwin = xw.shape[0]
+    qkv = jnp.asarray(np.asarray(xw) @ kq + bq)
+    qkv = qkv.reshape(bwin, ws * ws, 3, heads, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    if q_pool:
+        q = _max_pool_2x(q.reshape(bwin, ws, ws, dim))
+        hq = q.shape[1]
+        q = q.reshape(bwin, hq * hq, heads, hd)
+    q, k, v = (a.transpose(0, 2, 1, 3) for a in (q, k, v))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * hd**-0.5
+    p = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, v).transpose(0, 2, 1, 3)
+    wso = ws // 2 if q_pool else ws
+    o = o.reshape(bwin, wso, wso, dim)
+    if q_pool:
+        pad_hw = tuple(d // 2 for d in pad_hw)
+    ref = window_unpartition(
+        o, wso, pad_hw, (h // 2, w // 2) if q_pool else (h, w)
+    )
+    ref = np.asarray(ref) @ kp + bp
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)

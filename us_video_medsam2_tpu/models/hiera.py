@@ -26,9 +26,8 @@ from us_video_medsam2_tpu.kernels.fused_mlp import (
     pick_block_n,
 )
 from us_video_medsam2_tpu.models.layers import MLP, DropPath, LayerNorm, gelu_exact
-from us_video_medsam2_tpu.ops.attention import sdpa
+from us_video_medsam2_tpu.ops.attention import sdpa_blhd
 from us_video_medsam2_tpu.ops.resize import resize2d
-from us_video_medsam2_tpu.ops.window import window_partition, window_unpartition
 
 
 class PatchEmbed(nn.Module):
@@ -124,8 +123,117 @@ def _max_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
     return x.max(axis=(-2, -4))
 
 
+def _block_diag_bias(g: int, lq: int, lk: int) -> jnp.ndarray:
+    """[1, 1, g*lq, g*lk] additive mask: 0 on the g diagonal (lq, lk) blocks,
+    -1e30 elsewhere. Trace-time constant (numpy), folded by jit."""
+    import numpy as np
+
+    from us_video_medsam2_tpu.ops.attention import NEG_INF
+
+    mask = np.full((g * lq, g * lk), NEG_INF, np.float32)
+    for i in range(g):
+        mask[i * lq : (i + 1) * lq, i * lk : (i + 1) * lk] = 0.0
+    return jnp.asarray(mask)[None, None]
+
+
+class _QKVDense(nn.Module):
+    """Dense with the checkpoint's [in, 3*H*hd] param shape whose applied
+    weight is lane-padded per head to [in, 3*H*hd_pad] (zero columns).
+
+    head_dim 96 is lane-misaligned on TPU (vregs are 8x128): splitting the
+    qkv output's minor dim into (3, H, 96) forces a real lane-shuffle copy —
+    the round-3 trace showed ~9 ms/64f of such copies across the trunk. With
+    hd padded to 128 in the weights, every downstream reshape/slice lands on
+    vreg boundaries and is free, while the MXU cost is unchanged (it pads
+    96 -> 128 contraction depth in hardware anyway) and the pad lanes are
+    exact zeros through qk/av (0-weight columns -> 0 logit terms, 0 outputs).
+    """
+
+    features: int  # 3 * H * hd — the stored param shape
+    num_heads: int
+    head_dim: int
+    hd_pad: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        hd, hp = self.head_dim, self.hd_pad
+        w = jnp.pad(
+            w.reshape(x.shape[-1], 3, self.num_heads, hd),
+            ((0, 0), (0, 0), (0, 0), (0, hp - hd)),
+        ).reshape(x.shape[-1], 3 * self.num_heads * hp)
+        bias = jnp.pad(
+            bias.reshape(3, self.num_heads, hd), ((0, 0), (0, 0), (0, hp - hd))
+        ).reshape(-1)
+        y = jax.lax.dot_general(
+            x.astype(self.dtype),
+            w.astype(self.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (y + bias).astype(self.dtype)
+
+
+class _ProjDense(nn.Module):
+    """Output projection accepting lane-padded [.., H*hd_pad] inputs with the
+    checkpoint's [H*hd, dim_out] param shape (zero rows on the pad lanes —
+    they multiply exact-zero activations, see _QKVDense)."""
+
+    dim_out: int
+    num_heads: int
+    head_dim: int
+    hd_pad: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.num_heads * self.head_dim, self.dim_out),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.dim_out,), jnp.float32)
+        hd, hp = self.head_dim, self.hd_pad
+        w = jnp.pad(
+            w.reshape(self.num_heads, hd, self.dim_out),
+            ((0, 0), (0, hp - hd), (0, 0)),
+        ).reshape(self.num_heads * hp, self.dim_out)
+        y = jax.lax.dot_general(
+            x.astype(self.dtype),
+            w.astype(self.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (y + bias).astype(self.dtype)
+
+
 class MultiScaleAttention(nn.Module):
-    """Windowed MHSA with optional Q max-pooling (reference hieradet.py:39-81)."""
+    """Windowed MHSA with optional Q max-pooling (reference hieradet.py:39-81).
+
+    Packed-window execution: each window has only ws² keys (16-64 for this
+    model family), so the per-window softmax runs on quarter-to-eighth-filled
+    128-lane vregs and the qk/av matmuls on mostly-empty MXU tiles. When
+    Lk <= 64, G = 128//Lk windows are packed into one attention over G*Lk keys
+    with a block-diagonal -1e30 bias: masked logits exp to exact zero, so every
+    valid probability and output element is identical to the per-window
+    computation (windows from different images may share a group — the mask
+    isolates them exactly). Lane occupancy goes to >= 128/(128//Lk * Lk)
+    and batched-matmul tile count drops G-fold for the same useful FLOPs.
+
+    Head dims that are lane-misaligned (96 % 128 != 0) run with weight-level
+    zero-padding to 128 (_QKVDense/_ProjDense) so the head split never moves
+    data; attention itself runs in [B, L, H, D] layout (ops/attention.py::
+    sdpa_blhd) so the head axis enters the matmuls as a batch dim with no
+    [B, H, L, D] transpose.
+    """
 
     dim_out: int
     num_heads: int
@@ -133,22 +241,114 @@ class MultiScaleAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, window_size: int = 0):
+        import os
+
         b, h, w, _ = x.shape
-        head_dim = self.dim_out // self.num_heads
-        qkv = nn.Dense(self.dim_out * 3, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        if self.q_pool:
-            q = q.reshape(b, h, w, self.dim_out)
-            q = _max_pool_2x(q)
-            h, w = q.shape[1:3]
-            q = q.reshape(b, h * w, self.num_heads, head_dim)
-        out = sdpa(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
-        )
-        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim_out)
-        return nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(out)
+        nh_heads = self.num_heads
+        head_dim = self.dim_out // nh_heads
+        hd_pad = head_dim if head_dim % 128 == 0 else -(-head_dim // 128) * 128
+        if os.environ.get("US_MEDSAM2_DISABLE_HEAD_PAD"):
+            hd_pad = head_dim
+        scale = head_dim**-0.5
+
+        if window_size > 0:
+            ws = window_size
+            pad_h = (ws - h % ws) % ws
+            pad_w = (ws - w % ws) % ws
+            if pad_h or pad_w:
+                # pad BEFORE qkv so pad tokens carry the projection bias,
+                # exactly like the reference's partition-then-project order
+                # (hieradet.py pads x with zeros; Dense(0) = bias)
+                x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+            hs, wsp = h + pad_h, w + pad_w
+        qkv = _QKVDense(
+            features=self.dim_out * 3,
+            num_heads=nh_heads,
+            head_dim=head_dim,
+            hd_pad=hd_pad,
+            dtype=self.dtype,
+            name="qkv",
+        )(x)
+
+        if window_size == 0:
+            # global attention: [B, L, H, D] layout, head axis as dot batch dim
+            qkv = qkv.reshape(b, h * w, 3, nh_heads, hd_pad)
+            q = qkv[:, :, 0]
+            if self.q_pool:  # 2x2 max-pool over the full map (hieradet do_pool)
+                q = _max_pool_2x(q.reshape(b, h, w, nh_heads * hd_pad))
+                h, w = q.shape[1:3]
+                q = q.reshape(b, h * w, nh_heads, hd_pad)
+            out = sdpa_blhd(q, qkv[:, :, 1], qkv[:, :, 2], scale=scale).reshape(
+                b, h, w, nh_heads * hd_pad
+            )
+        else:
+            # head-major window partition: ONE transpose carries the window
+            # split AND the head split, so q/k/v land directly in canonical
+            # [N = B*nWin*H, L, D] batch form and the attention einsums need
+            # no batch-dim normalization copies.
+            nwh, nww = hs // ws, wsp // ws
+            t = qkv.reshape(b, nwh, ws, nww, ws, 3, nh_heads, hd_pad)
+            t = t.transpose(5, 0, 1, 3, 6, 2, 4, 7)
+            t = t.reshape(3, b * nwh * nww * nh_heads, ws * ws, hd_pad)
+            q, k, v = t[0], t[1], t[2]
+            n = q.shape[0]
+            lq = lk = ws * ws
+            wso = ws
+            if self.q_pool:
+                wso = ws // 2
+                lq = wso * wso
+                q = (
+                    q.reshape(n, wso, 2, wso, 2, hd_pad)
+                    .max(axis=(2, 4))
+                    .reshape(n, lq, hd_pad)
+                )
+            g = 128 // lk if lk <= 64 else 1
+            if os.environ.get("US_MEDSAM2_DISABLE_PACKED_ATTN"):
+                g = 1
+            pad_n = (-n) % g
+            if pad_n:  # zero dummy windows; outputs sliced off below
+                q, k, v = (
+                    jnp.pad(a, ((0, pad_n), (0, 0), (0, 0))) for a in (q, k, v)
+                )
+            if g > 1:
+                # pack G windows per attention with a block-diagonal -inf
+                # bias: adjacent N entries may be different heads/windows —
+                # the mask isolates them exactly (masked probs are exact 0)
+                q = q.reshape((n + pad_n) // g, g * lq, hd_pad)
+                k = k.reshape((n + pad_n) // g, g * lk, hd_pad)
+                v = v.reshape((n + pad_n) // g, g * lk, hd_pad)
+            s = (
+                jnp.einsum("nqd,nkd->nqk", q, k, preferred_element_type=jnp.float32)
+                * scale
+            )
+            if g > 1:
+                s = s + _block_diag_bias(g, lq, lk)[0]
+            p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jnp.einsum(
+                "nqk,nkd->nqd",
+                p.astype(v.dtype),
+                v,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+            o = o.reshape(n + pad_n, lq, hd_pad)[:n]
+            # inverse transpose: window unpartition + head merge in one move
+            o = o.reshape(b, nwh, nww, nh_heads, wso, wso, hd_pad)
+            o = o.transpose(0, 1, 4, 2, 5, 3, 6)
+            o = o.reshape(b, nwh * wso, nww * wso, nh_heads * hd_pad)
+            ho, wo = (h // 2, w // 2) if self.q_pool else (h, w)
+            if o.shape[1] > ho or o.shape[2] > wo:
+                o = o[:, :ho, :wo]
+            out = o
+        return _ProjDense(
+            dim_out=self.dim_out,
+            num_heads=nh_heads,
+            head_dim=head_dim,
+            hd_pad=hd_pad,
+            dtype=self.dtype,
+            name="proj",
+        )(out)
 
 
 class MultiScaleBlock(nn.Module):
@@ -173,28 +373,13 @@ class MultiScaleBlock(nn.Module):
             if self.q_stride:
                 shortcut = _max_pool_2x(shortcut)
 
-        window_size = self.window_size
-        if window_size > 0:
-            h, w = x.shape[1], x.shape[2]
-            x, pad_hw = window_partition(x, window_size)
-
         x = MultiScaleAttention(
             dim_out=self.dim_out,
             num_heads=self.num_heads,
             q_pool=self.q_stride is not None,
             dtype=self.dtype,
             name="attn",
-        )(x)
-        if self.q_stride:
-            h, w = shortcut.shape[1:3]
-            if self.window_size > 0:
-                window_size = self.window_size // self.q_stride[0]
-                pad_h = (window_size - h % window_size) % window_size
-                pad_w = (window_size - w % window_size) % window_size
-                pad_hw = (h + pad_h, w + pad_w)
-
-        if self.window_size > 0:
-            x = window_unpartition(x, window_size, pad_hw, (h, w))
+        )(x, window_size=self.window_size)
 
         dp = DropPath(self.drop_path, name="drop_path")
         x = shortcut + dp(x, deterministic)

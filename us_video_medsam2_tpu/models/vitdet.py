@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from us_video_medsam2_tpu.core.config import ViTDetConfig
 from us_video_medsam2_tpu.models.layers import MLP, LayerNorm, gelu_exact
-from us_video_medsam2_tpu.ops.attention import sdpa
+from us_video_medsam2_tpu.ops.attention import sdpa_blhd
 from us_video_medsam2_tpu.ops.resize import resize2d
 from us_video_medsam2_tpu.ops.window import window_partition, window_unpartition
 
@@ -29,9 +29,11 @@ class ViTAttention(nn.Module):
         b, h, w, _ = x.shape
         hd = self.dim // self.num_heads
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, h * w, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
-        out = sdpa(qkv[0], qkv[1], qkv[2])
-        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, hd)
+        # [B, L, H, D]-layout attention: head split folds into the matmul
+        # layouts instead of materializing [B, H, L, D] transposes.
+        out = sdpa_blhd(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+        out = out.reshape(b, h, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
