@@ -76,14 +76,15 @@ def test_point_samplers_match_reference_semantics():
     pts, lbls = ps.sample_random_points_from_errors(gt, pred, rng)
     pts, lbls = np.asarray(pts), np.asarray(lbls)
 
-    # reference semantics re-evaluated in numpy with the same noise
-    noise = np.asarray(jax.random.uniform(rng, (b, 1, h, w, 2)))
+    # reference semantics (sam2_utils.py:202-249: interleave FP/FN noise,
+    # flat argmax over [H*W*2]) re-evaluated in numpy with the same noise
+    noise = np.asarray(jax.random.uniform(rng, (2, b, 1, h, w)))
     gt_np, pred_np = np.asarray(gt), np.asarray(pred)
     fp = ~gt_np & pred_np
     fn = gt_np & ~pred_np
     all_correct = (gt_np == pred_np).reshape(b, 1, -1).all(-1)[..., None, None]
-    n0 = noise[..., 0] * (fp | (all_correct & ~gt_np))
-    n1 = noise[..., 1] * fn
+    n0 = noise[0] * (fp | (all_correct & ~gt_np))
+    n1 = noise[1] * fn
     stacked = np.stack([n0, n1], axis=-1).reshape(b, 1, -1)
     idx = stacked.argmax(axis=2)
     exp_lbl = (idx % 2).astype(np.int32)

@@ -60,29 +60,55 @@ def sample_box_points(
     return box.reshape(b, 2, 2), labels
 
 
+def _argmax2d(x: jnp.ndarray):
+    """(max value, first-occurrence flat argmax) over the last two [H, W] axes.
+
+    Computed hierarchically (max over W -> argmax over H -> argmax within the
+    winning row) so the reduction runs in the array's native tiled layout.
+    Flattening to [H*W] first — what a literal port does — forces XLA to
+    materialize a T(8,128)->T(1,128) relayout copy of the whole field; at 512²
+    inside the remat'd correction scan that was ~33 ms/step (23%) of the
+    round-3 train-step trace. Tie-breaking matches flat first-occurrence
+    exactly: argmax picks the first row holding the max, then the first
+    column within it.
+    """
+    w = x.shape[-1]
+    rows = x.max(axis=-1)  # [..., H]
+    y = jnp.argmax(rows, axis=-1)  # [...]
+    row = jnp.take_along_axis(x, y[..., None, None], axis=-2)[..., 0, :]
+    xcol = jnp.argmax(row, axis=-1)
+    val = jnp.take_along_axis(row, xcol[..., None], axis=-1)[..., 0]
+    return val, y * w + xcol
+
+
 def sample_random_points_from_errors(
     gt_masks: jnp.ndarray, pred_masks: jnp.ndarray | None, rng: jax.Array
 ):
     """[B, 1, H, W] bool masks -> (points [B, 1, 2] float, labels [B, 1] int32).
 
-    Exact port of the reference's vectorized sampler (sam2_utils.py:202-249):
-    channel 0 carries FP noise, channel 1 FN noise; argmax picks region + pixel.
+    Port of the reference's vectorized sampler (sam2_utils.py:202-249):
+    channel 0 carries FP noise, channel 1 FN noise; the argmax over both noise
+    fields picks region + pixel (uniform over error pixels). The reference
+    interleaves the channels and argmaxes the flat [H*W*2] array; here each
+    channel keeps its native [B, 1, H, W] layout (see _argmax2d) and the
+    channel choice replays the flat tie-break order (channel is the minor
+    interleave axis, so equal maxima resolve to channel 0 / earlier pixel).
     """
     if pred_masks is None:
         pred_masks = jnp.zeros_like(gt_masks)
     b, _, h, w = gt_masks.shape
     fp = ~gt_masks & pred_masks
     fn = gt_masks & ~pred_masks
-    all_correct = jnp.all((gt_masks == pred_masks).reshape(b, 1, -1), axis=2)
-    all_correct = all_correct[..., None, None]
+    all_correct = jnp.all(gt_masks == pred_masks, axis=(2, 3), keepdims=True)
 
-    noise = jax.random.uniform(rng, (b, 1, h, w, 2))
-    noise0 = noise[..., 0] * (fp | (all_correct & ~gt_masks))
-    noise1 = noise[..., 1] * fn
-    stacked = jnp.stack([noise0, noise1], axis=-1).reshape(b, 1, -1)
-    idx = jnp.argmax(stacked, axis=2)  # [B, 1]
-    labels = (idx % 2).astype(jnp.int32)
-    pix = idx // 2
+    noise = jax.random.uniform(rng, (2, b, 1, h, w))
+    noise0 = noise[0] * (fp | (all_correct & ~gt_masks))
+    noise1 = noise[1] * fn
+    max0, pix0 = _argmax2d(noise0)  # [B, 1] each
+    max1, pix1 = _argmax2d(noise1)
+    take1 = (max1 > max0) | ((max1 == max0) & (pix1 < pix0))
+    labels = take1.astype(jnp.int32)
+    pix = jnp.where(take1, pix1, pix0)
     pts_x = (pix % w).astype(jnp.float32)
     pts_y = (pix // w).astype(jnp.float32)
     points = jnp.stack([pts_x, pts_y], axis=2)
@@ -134,13 +160,8 @@ def sample_one_point_from_error_center(
 
     # 1-px zero border == reference's np.pad before cv2.distanceTransform
     border = jnp.zeros((b, h, w), bool).at[:, 1:-1, 1:-1].set(True)
-    fn_dt = _distance_transform(fn & border, num_dt_iters).reshape(b, -1)
-    fp_dt = _distance_transform(fp & border, num_dt_iters).reshape(b, -1)
-
-    fn_arg = jnp.argmax(fn_dt, axis=1)
-    fp_arg = jnp.argmax(fp_dt, axis=1)
-    fn_max = jnp.take_along_axis(fn_dt, fn_arg[:, None], axis=1)[:, 0]
-    fp_max = jnp.take_along_axis(fp_dt, fp_arg[:, None], axis=1)[:, 0]
+    fn_max, fn_arg = _argmax2d(_distance_transform(fn & border, num_dt_iters))
+    fp_max, fp_arg = _argmax2d(_distance_transform(fp & border, num_dt_iters))
     is_positive = fn_max > fp_max
     pt_idx = jnp.where(is_positive, fn_arg, fp_arg)
     pts = jnp.stack(
