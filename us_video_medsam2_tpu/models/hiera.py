@@ -25,6 +25,12 @@ from us_video_medsam2_tpu.kernels.fused_mlp import (
     ln_mlp_residual_available,
     pick_block_n,
 )
+from us_video_medsam2_tpu.kernels.fused_window_attention import (
+    fused_qkv_window_attention,
+    fused_qkv_window_attention_available,
+    fused_window_attention,
+    fused_window_attention_available,
+)
 from us_video_medsam2_tpu.models.layers import MLP, DropPath, LayerNorm, gelu_exact
 from us_video_medsam2_tpu.ops.attention import sdpa_blhd
 from us_video_medsam2_tpu.ops.resize import resize2d
@@ -153,25 +159,34 @@ class _QKVDense(nn.Module):
     num_heads: int
     head_dim: int
     hd_pad: int
+    in_features: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x):
-        w = self.param(
+    def setup(self):
+        self.kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (x.shape[-1], self.features),
+            (self.in_features, self.features),
             jnp.float32,
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+
+    def padded(self):
+        """(weight [in, 3*H*hd_pad], bias [3*H*hd_pad]) with zero pad lanes."""
         hd, hp = self.head_dim, self.hd_pad
         w = jnp.pad(
-            w.reshape(x.shape[-1], 3, self.num_heads, hd),
+            self.kernel.reshape(self.in_features, 3, self.num_heads, hd),
             ((0, 0), (0, 0), (0, 0), (0, hp - hd)),
-        ).reshape(x.shape[-1], 3 * self.num_heads * hp)
-        bias = jnp.pad(
-            bias.reshape(3, self.num_heads, hd), ((0, 0), (0, 0), (0, hp - hd))
+        ).reshape(self.in_features, 3 * self.num_heads * hp)
+        b = jnp.pad(
+            self.bias.reshape(3, self.num_heads, hd), ((0, 0), (0, 0), (0, hp - hd))
         ).reshape(-1)
+        return w, b
+
+    def __call__(self, x):
+        w, bias = self.padded()
         y = jax.lax.dot_general(
             x.astype(self.dtype),
             w.astype(self.dtype),
@@ -262,14 +277,46 @@ class MultiScaleAttention(nn.Module):
                 # (hieradet.py pads x with zeros; Dense(0) = bias)
                 x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
             hs, wsp = h + pad_h, w + pad_w
-        qkv = _QKVDense(
+        qkv_mod = _QKVDense(
             features=self.dim_out * 3,
             num_heads=nh_heads,
             head_dim=head_dim,
             hd_pad=hd_pad,
+            in_features=x.shape[-1],
             dtype=self.dtype,
             name="qkv",
-        )(x)
+        )
+
+        if window_size > 0 and not self.is_initializing() and (
+            os.environ.get("US_MEDSAM2_FUSE_QKV_WINDOW_ATTN")
+            and fused_qkv_window_attention_available(
+                hs, wsp, window_size, nh_heads, hd_pad, x.shape[-1], self.dtype
+            )
+        ):
+            # A/B-TESTED AND REJECTED (off by default): folding the qkv
+            # projection into the window-attention kernel removes the qkv
+            # HBM round-trip but the per-strip in-kernel dense loses more
+            # than that saves (116.1 vs 114.5 ms/64f device — XLA's single
+            # large fused dot beats Mosaic's per-program dense + f32 store).
+            # Kept behind US_MEDSAM2_FUSE_QKV_WINDOW_ATTN for bigger configs.
+            pw, pb = qkv_mod.padded()
+            o = fused_qkv_window_attention(
+                x.astype(self.dtype), pw, pb, window_size, nh_heads, hd_pad,
+                self.q_pool,
+            )
+            ho, wo = (h // 2, w // 2) if self.q_pool else (h, w)
+            if o.shape[1] > ho or o.shape[2] > wo:
+                o = o[:, :ho, :wo]
+            return _ProjDense(
+                dim_out=self.dim_out,
+                num_heads=nh_heads,
+                head_dim=head_dim,
+                hd_pad=hd_pad,
+                dtype=self.dtype,
+                name="proj",
+            )(o)
+
+        qkv = qkv_mod(x)
 
         if window_size == 0:
             # global attention: [B, L, H, D] layout, head axis as dot batch dim
@@ -282,6 +329,19 @@ class MultiScaleAttention(nn.Module):
             out = sdpa_blhd(q, qkv[:, :, 1], qkv[:, :, 2], scale=scale).reshape(
                 b, h, w, nh_heads * hd_pad
             )
+        elif fused_window_attention_available(
+            hs, wsp, ws, nh_heads, hd_pad, self.dtype
+        ) and not self.is_initializing():
+            # one Pallas pass: window partition + q-pool + packed softmax +
+            # AV + unpartition entirely in VMEM, qkv consumed in its natural
+            # dense-output layout (kernels/fused_window_attention.py) — the
+            # XLA lowering of the same sequence costs ~24 ms/64f in HBM
+            # transpose/score traffic (round-3 trace)
+            o = fused_window_attention(qkv, ws, nh_heads, hd_pad, self.q_pool)
+            ho, wo = (h // 2, w // 2) if self.q_pool else (h, w)
+            if o.shape[1] > ho or o.shape[2] > wo:
+                o = o[:, :ho, :wo]
+            out = o
         else:
             # head-major window partition: ONE transpose carries the window
             # split AND the head split, so q/k/v land directly in canonical
