@@ -110,16 +110,26 @@ def main():
 
     for _ in range(warmup_runs):
         run()
+    # Per-run FPS, MEDIAN over timed_runs: the remote-TPU tunnel's
+    # per-dispatch RTT occasionally spikes 2x+ (measured 40 -> 80+ ms within
+    # one session), and a single spiked run in a summed-time measurement
+    # misreports the chip by tens of percent. The median rejects such
+    # outliers while still charging every run its full dispatch+fetch cost
+    # (the reference harness averages 25 runs on local hardware,
+    # efficient_track_anything/benchmark.py:86-106 — it has no tunnel).
+    fps = 0.0
     for attempt in range(3):
-        t0 = time.perf_counter()
-        lows = None
+        run_fps, lows = [], None
         for _ in range(timed_runs):
+            t0 = time.perf_counter()
             lows = run()
-        dt = time.perf_counter() - t0
-        sane = np.isfinite(np.asarray(lows[1:3])).all() and dt > 1e-3 * timed_runs
+            run_fps.append((num_frames - 1) / (time.perf_counter() - t0))
+        sane = np.isfinite(np.asarray(lows[1:3])).all() and all(
+            f < 1e5 for f in run_fps
+        )
         if sane:
+            fps = float(np.median(run_fps))
             break
-    fps = timed_runs * (num_frames - 1) / dt
 
     # p50 per-frame latency through the STREAMING path (chunked scan), the
     # latency a consumer of propagate_in_video(chunk_size=K) observes per frame

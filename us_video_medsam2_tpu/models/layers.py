@@ -62,8 +62,15 @@ class LayerNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (dim,))
         bias = self.param("bias", nn.initializers.zeros, (dim,))
         xf = x.astype(jnp.float32)
+        # fast-variance form: mean and E[x²] come from ONE pass over x (XLA
+        # fuses the two independent reduces into a single loop fusion; the
+        # two-pass form var = E[(x-μ)²] needs a second dependent pass — it
+        # showed up as ~2 extra kernels per LN site in the round-3 trace).
+        # f32 activations are O(1-10) here, so cancellation error is ~1e-7
+        # relative — far inside the checkpoint-parity tolerances.
         mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        meansq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        var = jnp.maximum(meansq - jnp.square(mean), 0.0)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         y = y * scale + bias
         return y.astype(self.dtype)
