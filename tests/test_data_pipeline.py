@@ -38,6 +38,53 @@ def npz_dir(tmp_path_factory):
     return str(root)
 
 
+def test_quantum_curriculum_matches_reference_fixture(tmp_path):
+    """Stage populations replayed against the REFERENCE QuantumNPZRawDataset
+    run on the identical synthetic corpus (tools/gen_curriculum_fixture.py →
+    tests/fixtures/curriculum_quantum.json; reference
+    vos_raw_dataset.py:746-894). Covers the GT-presence parent filter, the
+    dense entropy threshold, the destructive expand/full narrowing, the
+    epoch→stage schedule, and the <5-survivor floor."""
+    import json
+
+    from curriculum_corpus import build_corpus
+
+    fix_path = os.path.join(os.path.dirname(__file__), "fixtures", "curriculum_quantum.json")
+    with open(fix_path) as f:
+        fix = json.load(f)
+    folder = str(tmp_path / "corpus")
+    build_corpus(folder)
+
+    ds = QuantumNPZRawDataset(folder, milestones={"expand": 20, "full": 50})
+    assert sorted(ds.video_names) == fix["dense"]
+    ds.set_epoch(19)
+    assert ds.stage == fix["epoch19_stage"]
+    ds.set_epoch(20)
+    assert ds.stage == fix["epoch20_stage"]
+    ds.set_epoch(25)
+    assert sorted(ds.video_names) == fix["expand"]
+    ds.set_epoch(60)
+    assert sorted(ds.video_names) == fix["full"]
+
+    floor_list = str(tmp_path / "floor.txt")
+    with open(floor_list, "w") as f:
+        f.write("\n".join(
+            ["vid_a_k4", "vid_l_k10", "vid_d_k16", "vid_e_k20", "vid_f_k28", "vid_j_k28"]
+        ))
+    ds3 = QuantumNPZRawDataset(
+        folder, milestones={"expand": 20, "full": 50}, file_list_txt=floor_list
+    )
+    assert sorted(ds3.video_names) == fix["floor_dense"]
+
+    # the opt-in intended-monotone mode DOES grow back to the full GT'd list
+    ds4 = QuantumNPZRawDataset(
+        folder, milestones={"expand": 20, "full": 50}, refilter_from_all=True
+    )
+    dense_n = len(ds4.video_names)
+    ds4.set_epoch(60)
+    assert len(ds4.video_names) == 10 >= dense_n
+
+
 def test_quantum_curriculum_stages(npz_dir):
     ds = QuantumNPZRawDataset(npz_dir, milestones={"expand": 5, "full": 10})
     dense_n = len(ds)

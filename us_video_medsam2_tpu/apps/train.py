@@ -74,7 +74,17 @@ def main(argv=None):
 
     cfg = resolve_config(args.cfg)
     if args.resolution != cfg.image_size:
-        cfg = dataclasses.replace(cfg, image_size=args.resolution)
+        # keep the memory-attention RoPE grid in lockstep with the feature
+        # map (the reference recomputes freqs when the feat size changes,
+        # sam2/modeling/sam/transformer.py:330-333; ours are config-sized)
+        feat = args.resolution // cfg.backbone_stride
+        cfg = dataclasses.replace(
+            cfg,
+            image_size=args.resolution,
+            memory_attention=dataclasses.replace(
+                cfg.memory_attention, rope_feat_sizes=(feat, feat)
+            ),
+        )
     if args.temporal_fusion != "none":
         cfg = dataclasses.replace(
             cfg,

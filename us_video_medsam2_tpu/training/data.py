@@ -206,12 +206,31 @@ def _first_frame_entropy(folder: str, video_name: str) -> float:
 
 class QuantumNPZRawDataset(NPZRawDataset):
     """Entropy-staged curriculum: dense (<2.5) -> expand (<3.5) -> full, with a
-    5-video floor (reference vos_raw_dataset.py:746-894 — wired in GFTE_3.yaml:221)."""
+    5-video floor (reference vos_raw_dataset.py:746-894 — wired in
+    GFTE_3.yaml:221; parent init always GT-filters, :764-771).
 
-    def __init__(self, folder: str, milestones: Optional[Dict[str, int]] = None, **kw):
+    Faithful quirk (cross-checked against the reference class on a synthetic
+    corpus, tests/fixtures/curriculum_quantum.json): the reference filter is
+    DESTRUCTIVE — `_apply_curriculum_filter` narrows `self.video_names` in
+    place and the full stage returns early, so later stages can only keep
+    survivors of the dense filter; the pool never grows back (:833-864). Pass
+    `refilter_from_all=True` for the intended monotone curriculum (each stage
+    re-filters the complete GT-filtered list); the default replays the
+    reference exactly.
+    """
+
+    def __init__(
+        self,
+        folder: str,
+        milestones: Optional[Dict[str, int]] = None,
+        refilter_from_all: bool = False,
+        **kw,
+    ):
+        kw.setdefault("require_gt_presence", True)
         super().__init__(folder, **kw)
         self.milestones = milestones or {"expand": 20, "full": 50}
         self.all_video_names = list(self.video_names)
+        self.refilter_from_all = refilter_from_all
         self.stage = "dense"
         self._apply_filter()
 
@@ -232,18 +251,20 @@ class QuantumNPZRawDataset(NPZRawDataset):
 
     def _apply_filter(self):
         if self.stage == "full":
-            self.video_names = sorted(self.all_video_names)
-            return
+            if self.refilter_from_all:
+                self.video_names = sorted(self.all_video_names)
+            return  # reference :833-834 — keeps the current (narrowed) list
+        base = self.all_video_names if self.refilter_from_all else self.video_names
         thresh = 2.5 if self.stage == "dense" else 3.5
         filtered = []
-        for v in self.all_video_names:
+        for v in base:
             try:
                 if _first_frame_entropy(self.folder, v) < thresh:
                     filtered.append(v)
             except Exception as e:  # noqa: BLE001
                 logging.warning("[QuantumNPZRawDataset] skip %s: %s", v, e)
         if len(filtered) < 5:
-            filtered = self.all_video_names[: min(10, len(self.all_video_names))]
+            filtered = base[: min(10, len(base))]  # reference :861-862
         self.video_names = sorted(filtered)
 
 
