@@ -48,3 +48,31 @@ def build_corpus(folder: str) -> list[str]:
             gts[:, 20:40, 20:40] = 1
         np.savez(os.path.join(folder, f"{name}.npz"), imgs=imgs, gts=gts)
     return [s[0] for s in SPEC]
+
+
+# AES corpus: [0, 1]-float images (the reference's entropy histogram uses
+# range=(0, 1), vos_raw_dataset.py:583 — uint8 corpora all score ~0) with
+# EMPTY first-frame masks so mask_complexity takes its exact 0.0 branch
+# (:589-590; the nonzero branch needs skimage, absent both here and in the
+# fixture generator's environment). Entropy = bits/5: k=2 -> 0.2 (dense),
+# k=4 -> 0.4 (expand), k=16 -> 0.8 (full-only).
+AES_SPEC = [
+    ("aes_a_k2", 2),
+    ("aes_b_k2", 2),
+    ("aes_c_k4", 4),
+    ("aes_d_k4", 4),
+    ("aes_e_k16", 16),
+    ("aes_f_k16", 16),
+]
+
+
+def build_aes_corpus(folder: str) -> list[str]:
+    os.makedirs(folder, exist_ok=True)
+    rng = np.random.default_rng(20260819)
+    for name, k in AES_SPEC:
+        levels = np.linspace(0.02, 0.95, k).astype(np.float32)
+        imgs = levels[rng.integers(0, k, size=(T, H, W))]
+        gts = np.zeros((T, H, W), np.uint8)
+        gts[1:, 20:40, 20:40] = 1  # frame 0 empty
+        np.savez(os.path.join(folder, f"{name}.npz"), imgs=imgs, gts=gts)
+    return [s[0] for s in AES_SPEC]

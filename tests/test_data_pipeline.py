@@ -85,6 +85,82 @@ def test_quantum_curriculum_matches_reference_fixture(tmp_path):
     assert len(ds4.video_names) == 10 >= dense_n
 
 
+def test_neurospectral_matches_reference_fixture(tmp_path):
+    """Score formula (full FFT of the frame-mean signal, DC in the low band),
+    ascending order, and the 30/60/100% stage slices — replayed against the
+    reference class (vos_raw_dataset.py:638-744) via the shared fixture."""
+    import json
+
+    from curriculum_corpus import build_corpus
+
+    from us_video_medsam2_tpu.training.data import NeuroSpectralNPZRawDataset
+
+    fix_path = os.path.join(os.path.dirname(__file__), "fixtures", "curriculum_quantum.json")
+    with open(fix_path) as f:
+        fix = json.load(f)
+    folder = str(tmp_path / "corpus")
+    build_corpus(folder)
+    ds = NeuroSpectralNPZRawDataset(folder, milestones={"expand": 20, "full": 50})
+    for name, score in fix["neuro_scores"].items():
+        assert ds.video_scores[name] == pytest.approx(score, rel=1e-9)
+    assert list(ds.video_names) == fix["neuro_dense"]
+    ds.set_epoch(25)
+    assert list(ds.video_names) == fix["neuro_expand"]
+    ds.set_epoch(60)
+    assert list(ds.video_names) == fix["neuro_full"]
+
+
+def test_aes_curriculum_matches_reference_fixture(tmp_path):
+    """Entropy formula (range=(0,1) histogram, log2, /5), per-stage thresholds,
+    and the adaptive-factor trajectory — replayed against the reference class
+    (vos_raw_dataset.py:470-636) via the shared fixture. Mask complexity takes
+    its exact empty-mask 0.0 branch (the nonzero branch needs skimage, absent
+    in both environments; our numpy port of perimeter/euler is separately
+    smoke-tested below)."""
+    import json
+
+    from curriculum_corpus import build_aes_corpus
+
+    fix_path = os.path.join(os.path.dirname(__file__), "fixtures", "curriculum_quantum.json")
+    with open(fix_path) as f:
+        fix = json.load(f)
+    folder = str(tmp_path / "aes")
+    build_aes_corpus(folder)
+    ds = AESCurriculumNPZRawDataset(folder, milestones={"expand": 20, "full": 50})
+    for name, ent in fix["aes_entropies"].items():
+        assert ds.sample_entropies[name] == pytest.approx(ent, rel=1e-9)
+    assert list(ds.video_names) == fix["aes_dense"]
+    ds.set_epoch(25)
+    assert list(ds.video_names) == fix["aes_expand"]
+    ds.set_epoch(60)
+    assert list(ds.video_names) == fix["aes_full"]
+    ds2 = AESCurriculumNPZRawDataset(folder, milestones={"expand": 20, "full": 50})
+    for loss in (0.5, 0.05, 0.05, 0.5):
+        ds2.set_epoch(0, training_loss=loss)
+    assert ds2.adaptive_factor == pytest.approx(fix["aes_adaptive_factor"], rel=1e-12)
+    # a video is loadable through the stage-aware path (conditional scaling)
+    video, seg = ds.get_video(0)
+    assert video.frames[0].data.max() <= 1.0
+
+
+def test_mask_complexity_geometry():
+    """Numpy ports of skimage perimeter/euler_number: known geometries."""
+    from us_video_medsam2_tpu.training.data import _euler_number_2d, _perimeter_2d
+
+    solid = np.zeros((20, 20), np.uint8)
+    solid[5:15, 5:15] = 1  # one solid square: E8 = 1
+    assert _euler_number_2d(solid) == 1
+    ring = solid.copy()
+    ring[8:12, 8:12] = 0  # one hole: E8 = 0
+    assert _euler_number_2d(ring) == 0
+    two = solid.copy()
+    two[1:3, 1:3] = 1  # two components
+    assert _euler_number_2d(two) == 2
+    # 10x10 solid square, axis-aligned: perimeter estimate = 4 sides minus
+    # corner weighting; exact isothetic value is 4*(10-1)=36 for this scheme
+    assert _perimeter_2d(solid) == pytest.approx(4 * 9, abs=4.0)
+
+
 def test_quantum_curriculum_stages(npz_dir):
     ds = QuantumNPZRawDataset(npz_dir, milestones={"expand": 5, "full": 10})
     dense_n = len(ds)

@@ -57,10 +57,14 @@ def install_reference_training_package():
 
 
 def main():
-    from curriculum_corpus import build_corpus
+    from curriculum_corpus import build_aes_corpus, build_corpus
 
     install_reference_training_package()
-    from training.dataset.vos_raw_dataset import QuantumNPZRawDataset
+    from training.dataset.vos_raw_dataset import (
+        AESCurriculumNPZRawDataset,
+        NeuroSpectralNPZRawDataset,
+        QuantumNPZRawDataset,
+    )
 
     with tempfile.TemporaryDirectory() as folder:
         names = build_corpus(folder)
@@ -90,6 +94,41 @@ def main():
         )
         stages["floor_dense"] = sorted(ds3.video_names)
         del names
+
+        # NeuroSpectral over the same corpus: exact score-ordered 30/60/100
+        # slices (ORDER matters, so record lists unsorted)
+        nds = NeuroSpectralNPZRawDataset(
+            folder=folder, milestones={"expand": 20, "full": 50}
+        )
+        stages["neuro_scores"] = {
+            k: float(v) for k, v in sorted(nds.video_scores.items())
+        }
+        stages["neuro_dense"] = list(nds.video_names)
+        nds.update_curriculum_stage(25)
+        stages["neuro_expand"] = list(nds.video_names)
+        nds.update_curriculum_stage(60)
+        stages["neuro_full"] = list(nds.video_names)
+
+    with tempfile.TemporaryDirectory() as folder:
+        build_aes_corpus(folder)
+        ads = AESCurriculumNPZRawDataset(
+            folder=folder, milestones={"expand": 20, "full": 50}
+        )
+        stages["aes_entropies"] = {
+            k: float(v) for k, v in sorted(ads.sample_entropies.items())
+        }
+        stages["aes_dense"] = list(ads.video_names)
+        ads.update_curriculum_stage(25)
+        stages["aes_expand"] = list(ads.video_names)
+        ads.update_curriculum_stage(60)
+        stages["aes_full"] = list(ads.video_names)
+        # adaptive factor trajectory (reference :512-516)
+        ads2 = AESCurriculumNPZRawDataset(
+            folder=folder, milestones={"expand": 20, "full": 50}
+        )
+        for loss in (0.5, 0.05, 0.05, 0.5):
+            ads2.update_curriculum_stage(0, training_loss=loss)
+        stages["aes_adaptive_factor"] = round(ads2.adaptive_factor, 10)
 
     OUT.mkdir(parents=True, exist_ok=True)
     with open(OUT / "curriculum_quantum.json", "w") as f:

@@ -268,47 +268,222 @@ class QuantumNPZRawDataset(NPZRawDataset):
         self.video_names = sorted(filtered)
 
 
-class AESCurriculumNPZRawDataset(NPZRawDataset):
-    """Entropy-ordered curriculum: easy-first prefix grows with epochs
-    (reference vos_raw_dataset.py:470-636)."""
+def _euler_number_2d(mask: np.ndarray, connectivity: int = 2) -> int:
+    """2D Euler number via Gray's bit-quad counts — the same quantity
+    skimage.measure.euler_number computes (skimage is not in this image, so
+    this replicates the published formula: S.B. Gray 1971; 4-conn
+    E = (Q1 - Q3 + 2*Qd)/4, 8-conn E = (Q1 - Q3 - 2*Qd)/4)."""
+    m = np.pad((np.asarray(mask) != 0).astype(np.int8), 1)
+    a = m[:-1, :-1]
+    b = m[:-1, 1:]
+    c = m[1:, :-1]
+    d = m[1:, 1:]
+    s = a + b + c + d
+    q1 = int(np.sum(s == 1))
+    q3 = int(np.sum(s == 3))
+    qd = int(np.sum((s == 2) & (a == d)))  # diagonal pairs {a,d} or {b,c}
+    if connectivity == 1:
+        return (q1 - q3 + 2 * qd) // 4
+    return (q1 - q3 - 2 * qd) // 4
 
-    def __init__(self, folder: str, warmup_epochs: int = 30, **kw):
-        super().__init__(folder, **kw)
-        self.warmup_epochs = warmup_epochs
-        ent = {v: _first_frame_entropy(self.folder, v) for v in self.video_names}
-        self.ordered = sorted(self.video_names, key=lambda v: ent[v])
-        self.set_epoch(0)
 
-    def set_epoch(self, epoch: int):
-        frac = min(1.0, 0.3 + 0.7 * epoch / max(self.warmup_epochs, 1))
-        n = max(1, int(len(self.ordered) * frac))
-        self.video_names = sorted(self.ordered[:n])
+def _perimeter_2d(mask: np.ndarray) -> float:
+    """Perimeter estimate matching skimage.measure.perimeter(neighborhood=4):
+    border pixels weighted by the number/kind of exposed sides
+    (isothetic/diagonal border classes with weights 1, sqrt(2), (1+sqrt(2))/2
+    — the published Benkrid et al. scheme skimage implements)."""
+    m = np.pad((np.asarray(mask) != 0).astype(np.int8), 1)
+    # count of 4-neighbors that are background, for each foreground pixel
+    exposed = (
+        (m[:-2, 1:-1] == 0).astype(np.int8)
+        + (m[2:, 1:-1] == 0)
+        + (m[1:-1, :-2] == 0)
+        + (m[1:-1, 2:] == 0)
+    ) * m[1:-1, 1:-1]
+    weights = np.array([0.0, 1.0, np.sqrt(2.0), (1.0 + np.sqrt(2.0)) / 2.0, 2.0])
+    return float(np.sum(weights[exposed]))
+
+
+class AESCurriculumNPZRawDataset(VOSRawDataset):
+    """Adaptive Entropy Sampling curriculum — faithful port of reference
+    vos_raw_dataset.py:470-636. Per stage it (re)lists `<folder>/<stage>/`
+    (falling back to the flat folder), scores each video as
+    (image_entropy + mask_complexity)/2 and keeps those under the stage
+    threshold (dense < 0.3·af, expand < 0.6·af, full = all; the adaptive
+    factor af moves with training loss, :505-516).
+
+    Faithful quirks: the image entropy histogram uses range=(0, 1) (:583),
+    so uint8 [0, 255] corpora score ~0 and the filter passes everything —
+    the curriculum only discriminates on [0, 1]-normalized NPZs; frame
+    scaling divides by 255 only `if frames.max() > 1.0` (:617). The mask
+    complexity term uses numpy ports of skimage's perimeter/euler_number
+    (skimage is not installed here; formulas above)."""
+
+    def __init__(
+        self,
+        folder: str,
+        milestones: Optional[Dict[str, int]] = None,
+        entropy_threshold: float = 0.7,
+        sample_rate: int = 1,
+        truncate_video: int = -1,
+        **kw,
+    ):
+        self.folder = folder
+        self.milestones = milestones or {"expand": 20, "full": 50}
+        self.entropy_threshold = entropy_threshold
+        self.sample_rate = sample_rate
+        self.truncate_video = truncate_video
+        self.stage = "dense"
+        self.adaptive_factor = 1.0
+        self.video_names: list = []
+        self.sample_entropies: Dict[str, float] = {}
+        self._load_stage_data("dense")
+
+    def set_epoch(self, epoch: int, training_loss: Optional[float] = None):
+        target = "dense"
+        if epoch >= self.milestones.get("full", 50):
+            target = "full"
+        elif epoch >= self.milestones.get("expand", 20):
+            target = "expand"
+        if training_loss is not None:  # reference :512-516
+            if training_loss < 0.1:
+                self.adaptive_factor = min(2.0, self.adaptive_factor * 1.05)
+            else:
+                self.adaptive_factor = max(0.5, self.adaptive_factor * 0.95)
+        if target != self.stage:
+            self._load_stage_data(target)
+
+    def _stage_dir(self) -> str:
+        target = os.path.join(self.folder, self.stage)
+        return target if os.path.exists(target) else self.folder
+
+    def _load_stage_data(self, stage: str):
+        self.stage = stage
+        self.video_names = []
+        self.sample_entropies.clear()
+        target_path = self._stage_dir()
+        if not os.path.exists(target_path):
+            return
+        for fname in sorted(os.listdir(target_path)):
+            if not fname.endswith(".npz"):
+                continue
+            try:
+                data = np.load(os.path.join(target_path, fname), allow_pickle=True)
+                imgs = data["imgs"]
+                masks = data["gts"] if "gts" in data else data["masks"]
+                if len(imgs) == 0:
+                    continue
+                total = (
+                    self._image_entropy(imgs[0]) + self._mask_complexity(masks[0])
+                ) / 2.0
+                self.sample_entropies[fname] = total
+                if self._entropy_filter(total):
+                    self.video_names.append(os.path.splitext(fname)[0])
+            except Exception as e:  # noqa: BLE001
+                logging.warning("[AES-CL] failed loading %s: %s", fname, e)
+
+    def _entropy_filter(self, entropy: float) -> bool:
+        if self.stage == "dense":
+            return entropy < 0.3 * self.adaptive_factor
+        if self.stage == "expand":
+            return entropy < 0.6 * self.adaptive_factor
+        return True
+
+    @staticmethod
+    def _image_entropy(image: np.ndarray) -> float:
+        if image.ndim == 3:
+            image = np.mean(image, axis=2)
+        hist, _ = np.histogram(image.flatten(), bins=32, range=(0, 1))
+        prob = hist / (hist.sum() + 1e-10)
+        return float(-np.sum(prob * np.log2(prob + 1e-10))) / 5.0
+
+    @staticmethod
+    def _mask_complexity(mask: np.ndarray) -> float:
+        if np.sum(mask) == 0:
+            return 0.0
+        area = np.sum(mask)
+        complexity = _perimeter_2d(mask) / (area + 1e-10) * 0.1 + abs(
+            _euler_number_2d(mask)
+        ) * 0.1
+        return float(min(complexity, 1.0))
+
+    def __len__(self):
+        return len(self.video_names)
+
+    def get_video(self, idx: int):
+        name = self.video_names[idx]
+        path = os.path.join(self.folder, self.stage, f"{name}.npz")
+        if not os.path.exists(path):
+            path = os.path.join(self.folder, f"{name}.npz")
+        data = np.load(path, allow_pickle=True)
+        frames = data["imgs"]
+        masks = data["gts"] if "gts" in data else data["masks"]
+        if frames.max() > 1.0:  # reference :617 — conditional scaling
+            frames = frames / 255.0
+        frames = frames.astype(np.float32)
+        if frames.ndim == 3:
+            frames = np.repeat(frames[..., None], 3, axis=-1)
+        if self.truncate_video > 0:
+            frames = frames[: self.truncate_video]
+            masks = masks[: self.truncate_video]
+        frames = frames[:: self.sample_rate]
+        vos_frames = [
+            VOSFrame(i * self.sample_rate, data=frames[i]) for i in range(len(frames))
+        ]
+        return VOSVideo(name, idx, vos_frames), NPZSegmentLoader(masks)
 
 
 class NeuroSpectralNPZRawDataset(NPZRawDataset):
-    """Temporal-FFT difficulty ordering: videos with less high-frequency temporal
-    energy first (reference vos_raw_dataset.py:638-744)."""
+    """Temporal-FFT difficulty ordering — faithful port of reference
+    vos_raw_dataset.py:638-744: per video, the frame-mean intensity signal's
+    full FFT magnitude is split at T/4 (DC included in the 'low' band,
+    :697-700); score = mean(high)/(mean(low)+1e-6). Videos sort ascending and
+    stages keep the easiest 30% / 60% / 100% (min 1, :735-744 — re-sliced
+    from the full sorted list each stage, unlike the Quantum filter). Parent
+    listing GT-filters like the reference's (:653-658)."""
 
-    def __init__(self, folder: str, warmup_epochs: int = 30, **kw):
+    def __init__(self, folder: str, milestones: Optional[Dict[str, int]] = None, **kw):
+        kw.setdefault("require_gt_presence", True)
         super().__init__(folder, **kw)
-        self.warmup_epochs = warmup_epochs
+        self.milestones = milestones or {"expand": 20, "full": 50}
+        self.stage = "dense"
         scores = {}
         for v in self.video_names:
             try:
-                imgs = np.load(os.path.join(folder, f"{v}.npz"))["imgs"]
-                sig = imgs.reshape(imgs.shape[0], -1).mean(axis=1)
-                spec = np.abs(np.fft.rfft(sig - sig.mean()))
-                half = max(1, len(spec) // 2)
-                scores[v] = float(spec[half:].sum() / (spec.sum() + 1e-8))
-            except Exception:  # noqa: BLE001
+                imgs = np.load(
+                    os.path.join(folder, f"{v}.npz"), allow_pickle=True
+                )["imgs"]
+                gray = np.mean(imgs, axis=tuple(range(1, imgs.ndim)))
+                mag = np.abs(np.fft.fft(gray))
+                low = np.mean(mag[: len(mag) // 4])
+                high = np.mean(mag[len(mag) // 4 :])
+                scores[v] = float(high / (low + 1e-6))
+            except Exception as e:  # noqa: BLE001
+                logging.warning("[NeuroSpectral] FFT failed: %s | %s", v, e)
                 scores[v] = 1.0
-        self.ordered = sorted(self.video_names, key=lambda v: scores[v])
-        self.set_epoch(0)
+        self.video_scores = scores
+        self.sorted_videos = sorted(scores.keys(), key=lambda k: scores[k])
+        self._apply_stage_filter()
 
     def set_epoch(self, epoch: int):
-        frac = min(1.0, 0.3 + 0.7 * epoch / max(self.warmup_epochs, 1))
-        n = max(1, int(len(self.ordered) * frac))
-        self.video_names = sorted(self.ordered[:n])
+        target = "dense"
+        if epoch >= self.milestones.get("full", 50):
+            target = "full"
+        elif epoch >= self.milestones.get("expand", 20):
+            target = "expand"
+        if target != self.stage:
+            self.stage = target
+            self._apply_stage_filter()
+
+    def _apply_stage_filter(self):
+        n = len(self.sorted_videos)
+        if self.stage == "dense":
+            keep = int(0.3 * n)
+        elif self.stage == "expand":
+            keep = int(0.6 * n)
+        else:
+            keep = n
+        self.video_names = self.sorted_videos[: max(1, keep)]
 
 
 class MedSAM2CurriculumDataset:
