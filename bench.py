@@ -59,7 +59,8 @@ def load_real_video(num_frames, image_size):
     return video.astype(np.float32), click
 
 
-def main():
+def main(cfg_name="sam2.1_hiera_t512"):
+    from us_video_medsam2_tpu.core.build import resolve_config
     from us_video_medsam2_tpu.core.config import SAM2Config
     from us_video_medsam2_tpu.inference.video_predictor import SAM2VideoPredictor
     from us_video_medsam2_tpu.models.sam2 import SAM2Model
@@ -68,7 +69,13 @@ def main():
     num_frames = 64 if on_tpu else 4
     warmup_runs, timed_runs = (2, 5) if on_tpu else (1, 1)
 
-    cfg = SAM2Config()
+    if cfg_name == "sam2.1_hiera_t512":
+        cfg, metric = SAM2Config(), "video_propagation_fps_512_hiera_tiny"
+    else:
+        # e.g. efficientmedsam_s_512 — the config whose FPS harness the
+        # reference actually ships (efficient_track_anything/benchmark.py)
+        cfg = resolve_config(cfg_name)
+        metric = f"video_propagation_fps_{cfg.image_size}_{cfg_name}"
     model = SAM2Model(cfg, dtype=jnp.bfloat16)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
@@ -182,7 +189,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "video_propagation_fps_512_hiera_tiny",
+                "metric": metric,
                 "value": round(fps, 2),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
@@ -194,11 +201,16 @@ def main():
 
 
 if __name__ == "__main__":
+    import sys
     import traceback
+
+    cfg_name = "sam2.1_hiera_t512"
+    if len(sys.argv) > 2 and sys.argv[1] == "--cfg":
+        cfg_name = sys.argv[2]
 
     for attempt in range(2):
         try:
-            main()
+            main(cfg_name)
             break
         except Exception:  # noqa: BLE001 — remote-TPU tunnels flake transiently
             if attempt == 1:

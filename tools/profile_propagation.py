@@ -24,16 +24,16 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(out_dir: str, num_frames: int) -> None:
+def capture(out_dir: str, num_frames: int, cfg_name: str = "sam2.1_hiera_t512") -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from us_video_medsam2_tpu.core.config import SAM2Config
+    from us_video_medsam2_tpu.core.build import resolve_config
     from us_video_medsam2_tpu.inference.video_predictor import SAM2VideoPredictor
     from us_video_medsam2_tpu.models.sam2 import SAM2Model
 
-    cfg = SAM2Config()
+    cfg = resolve_config(cfg_name)
     model = SAM2Model(cfg, dtype=jnp.bfloat16)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
@@ -166,7 +166,8 @@ if __name__ == "__main__":
     ap.add_argument("--out", default="/tmp/prop_trace")
     ap.add_argument("--analyze-only", action="store_true")
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--cfg", default="sam2.1_hiera_t512")
     args = ap.parse_args()
     if not args.analyze_only:
-        capture(args.out, args.frames)
+        capture(args.out, args.frames, args.cfg)
     analyze(args.out, args.top, args.frames)
