@@ -172,6 +172,19 @@ class SAM2Model(nn.Module):
             from us_video_medsam2_tpu.ops.window import space_to_depth
 
             return space_to_depth(images, hc.patch_stride)
+        vc = c.vitdet
+        if (
+            hc is None
+            and vc is not None
+            and images.shape[-1] == 3
+            and images.shape[-2] % vc.patch_size == 0
+            and images.shape[-3] % vc.patch_size == 0
+        ):
+            # non-overlapping patch-16 embed: the fold IS the conv's input
+            # relayout (models/vitdet.py::_PatchEmbed16)
+            from us_video_medsam2_tpu.ops.window import space_to_depth
+
+            return space_to_depth(images, vc.patch_size)
         return images
 
     def forward_image(

@@ -5,6 +5,15 @@ efficient_track_anything/modeling/backbones (EfficientMedSAM-S config at
 sam2/configs/efficientmedsam_s_512_FLARE_RECIST.yaml:79-105): patch-16 embed,
 absolute pos embeddings interpolated from the pretrain grid (cls token dropped),
 windowed blocks interleaved with global blocks, last-global-block output.
+
+TPU execution (round 3): the blocks run on the same engine as the Hiera trunk —
+MultiScaleAttention (models/hiera.py) with head-lane padding (hd 64 -> 128), the
+fused windowed-attention Pallas kernel for the ws=14 blocks, [B, L, H, D]-layout
+global attention, and the fused LN+MLP+residual Pallas kernel; the
+non-overlapping patch-16 embed is one space-to-depth matmul (ops/conv_matmul.py
+pure-fold form) whose fold the video predictor hoists out of the tracking scan
+(SAM2Model.prepare_images). Param names/shapes are unchanged (attn/{qkv,proj},
+patch_embed/{kernel,bias}) so checkpoints and the torch importer are unaffected.
 """
 
 from __future__ import annotations
@@ -13,28 +22,49 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from us_video_medsam2_tpu.core.config import ViTDetConfig
+from us_video_medsam2_tpu.kernels.fused_mlp import (
+    ln_mlp_residual,
+    ln_mlp_residual_available,
+    pick_block_n,
+)
+from us_video_medsam2_tpu.models.hiera import MultiScaleAttention
 from us_video_medsam2_tpu.models.layers import MLP, LayerNorm, gelu_exact
-from us_video_medsam2_tpu.ops.attention import sdpa_blhd
+from us_video_medsam2_tpu.ops.conv_matmul import s2d_conv
 from us_video_medsam2_tpu.ops.resize import resize2d
-from us_video_medsam2_tpu.ops.window import window_partition, window_unpartition
 
 
-class ViTAttention(nn.Module):
-    dim: int
-    num_heads: int
+class _PatchEmbed16(nn.Module):
+    """Non-overlapping patch embed (kernel == stride, VALID) as one matmul.
+
+    Space-to-depth folds [B, H, W, 3] -> [B, H/ps, W/ps, ps*ps*3]; the conv is
+    then exactly `fold @ kernel.reshape(ps*ps*3, C)` (cell channel order
+    (ri, rj, c) matches the kernel's (ki, kj, c) row-major order). Accepts
+    already-folded input (SAM2Model.prepare_images folds the whole clip once so
+    the per-frame tracking scan skips the relayout — the conv lowering plus its
+    input copy cost 15.3 ms/64f in the round-3 EfficientTAM trace). Param
+    names/shapes match nn.Conv ('kernel' [ps, ps, 3, C], 'bias' [C]).
+    """
+
+    features: int
+    patch_size: int
+    in_channels: int = 3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        b, h, w, _ = x.shape
-        hd = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, h * w, 3, self.num_heads, hd)
-        # [B, L, H, D]-layout attention: head split folds into the matmul
-        # layouts instead of materializing [B, H, L, D] transposes.
-        out = sdpa_blhd(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
-        out = out.reshape(b, h, w, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ps = self.patch_size
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (ps, ps, self.in_channels, self.features),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        folded_ch = ps * ps * self.in_channels
+        prefolded = x.shape[-1] == folded_ch and x.shape[-1] != self.in_channels
+        return s2d_conv(
+            x, w, b, stride=ps, pad=0, dtype=self.dtype, prefolded=prefolded
+        )
 
 
 class ViTBlock(nn.Module):
@@ -48,22 +78,48 @@ class ViTBlock(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         shortcut = x
         x = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm1")(x)
-        if self.window_size > 0:
-            h, w = x.shape[1], x.shape[2]
-            x, pad_hw = window_partition(x, self.window_size)
-        x = ViTAttention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(x)
-        if self.window_size > 0:
-            x = window_unpartition(x, self.window_size, pad_hw, (h, w))
+        # same attention engine as the Hiera trunk (q_pool off): window
+        # partition/pad handled inside, fused Pallas kernel when available
+        x = MultiScaleAttention(
+            dim_out=self.dim,
+            num_heads=self.num_heads,
+            q_pool=False,
+            dtype=self.dtype,
+            name="attn",
+        )(x, window_size=self.window_size)
         x = shortcut + x
-        y = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm2")(x)
-        y = MLP(
-            int(self.dim * self.mlp_ratio),
-            self.dim,
-            2,
+
+        hidden = int(self.dim * self.mlp_ratio)
+        norm2 = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm2")
+        mlp = MLP(
+            hidden_dim=hidden,
+            output_dim=self.dim,
+            num_layers=2,
             activation=gelu_exact,
             dtype=self.dtype,
             name="mlp",
-        )(y)
+        )
+        n_tok = x.shape[0] * x.shape[1] * x.shape[2]
+        use_fused = not self.is_initializing() and ln_mlp_residual_available(
+            n_tok, self.dim, hidden, self.dtype
+        )
+        if use_fused:
+            # same params, same math, one Pallas pass (kernels/fused_mlp.py)
+            p = self.variables["params"]
+            out = ln_mlp_residual(
+                x.reshape(n_tok, self.dim),
+                p["norm2"]["scale"],
+                p["norm2"]["bias"],
+                p["mlp"]["layers_0"]["kernel"],
+                p["mlp"]["layers_0"]["bias"],
+                p["mlp"]["layers_1"]["kernel"],
+                p["mlp"]["layers_1"]["bias"],
+                1e-6,
+                "gelu",
+                pick_block_n(n_tok, self.dim, hidden),
+            )
+            return out.reshape(x.shape)
+        y = mlp(norm2(x))
         return x + y
 
 
@@ -75,11 +131,9 @@ class ViTDet(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         cfg = self.cfg
         ps = cfg.patch_size
-        x = nn.Conv(
-            cfg.embed_dim,
-            (ps, ps),
-            strides=(ps, ps),
-            padding="VALID",
+        x = _PatchEmbed16(
+            features=cfg.embed_dim,
+            patch_size=ps,
             dtype=self.dtype,
             name="patch_embed",
         )(x)
