@@ -357,6 +357,19 @@ def efficienttam_s_512() -> SAM2Config:
     )
 
 
+def efficienttam_ti_512() -> SAM2Config:
+    """EfficientMedSAM/EfficientTAM-TI — ViT-tiny trunk (reference
+    sam2/configs/efficientmedsam_ti_512_FLARE_RECIST.yaml:79-105 and
+    efficient_track_anything/configs/efficienttam_ti_512x512.yaml:11-30; the
+    two differ from the -S family only by embed_dim 192 / num_heads 3)."""
+    cfg = efficienttam_s_512()
+    return dataclasses.replace(
+        cfg,
+        vitdet=dataclasses.replace(cfg.vitdet, embed_dim=192, num_heads=3),
+        neck=dataclasses.replace(cfg.neck, backbone_channel_list=(192,)),
+    )
+
+
 def tiny64_test() -> SAM2Config:
     """Structurally complete micro config for CI / CPU smoke runs."""
     return SAM2Config(
@@ -383,5 +396,7 @@ def tiny64_test() -> SAM2Config:
 PRESETS = {
     "sam2.1_hiera_t512": sam21_hiera_tiny_512,
     "efficientmedsam_s_512": efficienttam_s_512,
+    "efficientmedsam_ti_512": efficienttam_ti_512,
+    "efficienttam_ti_512": efficienttam_ti_512,
     "tiny64_test": tiny64_test,
 }
