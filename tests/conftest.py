@@ -48,6 +48,7 @@ SLOW_MODULES = {
     "test_temporal_fusion",
     "test_e2e_pipeline",
     "test_train_step",
+    "test_train_step_vit",
     "test_trainer_resilience",
     "test_determinism",
     "test_window_attention",

@@ -28,6 +28,11 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--objects", type=int, default=3)
+    ap.add_argument("--cfg", default="sam2.1_hiera_t512",
+                    help="config preset or YAML (e.g. efficientmedsam_s_512 "
+                         "for the reference's FLARE finetune recipe)")
+    ap.add_argument("--fusion", default="gfte",
+                    choices=["none", "tce", "gfte", "atsf", "gp"])
     ap.add_argument("--profile", default=None, help="xprof trace dir")
     args = ap.parse_args(argv)
 
@@ -46,10 +51,14 @@ def main(argv=None):
         make_train_step,
     )
 
-    cfg = resolve_config("sam2.1_hiera_t512")
-    cfg = dataclasses.replace(
-        cfg, temporal_fusion=TemporalFusionConfig(variant="gfte", channels=cfg.hidden_dim)
-    )
+    cfg = resolve_config(args.cfg)
+    if args.fusion != "none":
+        cfg = dataclasses.replace(
+            cfg,
+            temporal_fusion=TemporalFusionConfig(
+                variant=args.fusion, channels=cfg.hidden_dim
+            ),
+        )
     model = SAM2Model(cfg, dtype=jnp.bfloat16)
     size = cfg.image_size
     params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))
@@ -107,7 +116,8 @@ def main(argv=None):
 
     flash = "off" if os.environ.get("US_MEDSAM2_DISABLE_FLASH_DROPOUT") else "on"
     print(
-        f"train_step GFTE {t}f x {o}obj @512² (flash_dropout={flash}): "
+        f"train_step {args.cfg}/{args.fusion} {t}f x {o}obj @{size}² "
+        f"(flash_dropout={flash}): "
         f"single-dispatch {single_ms:.1f} ms wall, scanned {scan_ms:.1f} ms/step "
         f"(core_loss {float(losses[-1]):.4f})"
     )
