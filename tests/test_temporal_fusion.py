@@ -171,3 +171,23 @@ def test_gfte_wired_train_step():
         jax.tree.leaves(state.params["batch_stats"])[0],
         jax.tree.leaves(new_state.params["batch_stats"])[0],
     )
+
+
+def test_gfte_spectral_roundtrip_identity():
+    """The GFTE spectral branch's literal two-projection form
+    (U (U^T x) * filt with a k-INDEPENDENT per-channel filter,
+    reference sam2_base.py:434-460) equals x * filt exactly because the
+    path-Laplacian eigh basis is orthonormal — the identity the module
+    relies on since round 3 (models/temporal_fusion.py::GFTE branch 1)."""
+    from us_video_medsam2_tpu.models.temporal_fusion import _gfte_eigenbasis
+
+    rng = np.random.default_rng(0)
+    for t in (2, 4, 7):
+        evecs = np.asarray(_gfte_eigenbasis(t), np.float64)
+        # orthonormality of the trace-time basis itself
+        np.testing.assert_allclose(evecs @ evecs.T, np.eye(t), atol=1e-6)
+        x = rng.standard_normal((2, t, 3, 3, 8)).astype(np.float32)
+        filt = rng.standard_normal(8).astype(np.float32)
+        spec = np.einsum("kt,bthwc->bkhwc", evecs.T, x)
+        literal = np.einsum("tk,bkhwc->bthwc", evecs, spec * filt)
+        np.testing.assert_allclose(literal, x * filt, atol=1e-5)

@@ -194,15 +194,21 @@ class GFTE(nn.Module):
         xt = x.reshape(b, t, h, w, c)
 
         # --- (1) spectral branch: GFT over the frame axis of the FULL signal ---
-        evecs = jnp.asarray(_gfte_eigenbasis(t))  # [T, T]
         # reference filter param is (1, C, 1) init 0.5, linearly interpolated to
         # length T — interpolation of a single sample is constant, i.e. one
         # gain per channel (sam2_base.py:455-460)
         filt = self.param(
             "spectral_filters", nn.initializers.constant(0.5), (c,)
         )
-        spec = jnp.einsum("kt,bthwc->bkhwc", evecs.T, xt)
-        spectral = jnp.einsum("tk,bkhwc->bthwc", evecs, spec * filt)
+        # A k-independent per-channel gain commutes with the orthonormal GFT
+        # roundtrip: E diag-over-k(nothing) (E^T x) * filt = (E E^T) x * filt
+        # = x * filt (path-Laplacian eigh basis is orthonormal). The literal
+        # two-projection form ("kt,bthwc->bkhwc" then "tk,bkhwc->bthwc") is a
+        # tiny frame-axis contraction in a major dim — pure relayout work on
+        # TPU (~4 ms/step fwd+bwd in the GFTE training trace) producing the
+        # same tensor. Equivalence vs the literal form is unit-tested
+        # (test_temporal_fusion.py::test_gfte_spectral_roundtrip_identity).
+        spectral = xt * filt
 
         # --- (2) temporal MHA over per-frame global descriptors ---
         sig = xt.mean(axis=(2, 3))  # [B, T, C] == x_5d.mean(dim=[3,4]).T(1,2)
