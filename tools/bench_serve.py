@@ -1,0 +1,77 @@
+"""Batched-serving throughput on the real TPU (inference/serve.py).
+
+Measures aggregate tracked frames/s for N independent single-prompt videos
+propagated concurrently through `batched_propagate` — the production serving
+shape the reference has no counterpart for (its predictor is stateful per
+video, sam2_video_predictor.py). Videos are device-resident before timing
+(re-uploading ~200 MB per call dominates on remote-tunnel setups).
+
+Usage: python tools/bench_serve.py [--cfg sam2.1_hiera_t512] [--videos 4]
+       [--frames 16] [--runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", default="sam2.1_hiera_t512")
+    ap.add_argument("--videos", type=int, default=4)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args(argv)
+
+    from bench import load_real_video
+    from us_video_medsam2_tpu.core.build import resolve_config
+    from us_video_medsam2_tpu.inference.serve import batched_propagate
+    from us_video_medsam2_tpu.inference.video_predictor import SAM2VideoPredictor
+    from us_video_medsam2_tpu.models.sam2 import SAM2Model
+
+    cfg = resolve_config(args.cfg)
+    model = SAM2Model(cfg, dtype=jnp.bfloat16)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+    )
+    predictor = SAM2VideoPredictor(model, params, fill_hole_area=8)
+
+    video, click = load_real_video(args.frames, cfg.image_size)
+    if video is None:
+        rng = np.random.default_rng(0)
+        video = rng.standard_normal(
+            (args.frames, cfg.image_size, cfg.image_size, 3)
+        ).astype(np.float32)
+        click = np.array([[256.0, 256.0]], np.float32)
+    n = args.videos
+    videos = jax.device_put(jnp.broadcast_to(jnp.asarray(video), (n, *video.shape)))
+    coords = jnp.broadcast_to(jnp.asarray(click, jnp.float32)[None], (n, 1, 2))
+    labels = jnp.ones((n, 1), jnp.int32)
+
+    out = batched_propagate(predictor, videos, coords, labels)  # compile
+    np.asarray(out[-1, -1, :2, :2])  # host fetch = true completion
+    times = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        out = batched_propagate(predictor, videos, coords, labels)
+        np.asarray(out[-1, -1, :2, :2])
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    agg_fps = n * args.frames / dt
+    print(
+        f"serve {args.cfg}: {n} videos x {args.frames} frames @{cfg.image_size}² "
+        f"in {dt * 1e3:.1f} ms/call = {agg_fps:.1f} aggregate frames/s/chip"
+    )
+
+
+if __name__ == "__main__":
+    main()
