@@ -143,22 +143,95 @@ def test_aes_curriculum_matches_reference_fixture(tmp_path):
     assert video.frames[0].data.max() <= 1.0
 
 
-def test_mask_complexity_geometry():
-    """Numpy ports of skimage perimeter/euler_number: known geometries."""
-    from us_video_medsam2_tpu.training.data import _euler_number_2d, _perimeter_2d
+class TestMaskComplexityTruthTable:
+    """Hand-computed truth table for the numpy ports of
+    skimage.measure.perimeter(neighbourhood=4) / euler_number — the functions
+    the reference AES curriculum calls (sam2_datasets.py:1014-1027,
+    vos_raw_dataset.py:592-595; skimage is not installed in this image).
+    Every expected value below is derived by hand from skimage's published
+    algorithms: perimeter = weighted border-pixel codes after 4-connected
+    erosion (weights 1 / sqrt2 / (1+sqrt2)/2, isolated px -> 0); Euler number
+    = Gray's bit-quad counts, 8-connectivity default."""
 
-    solid = np.zeros((20, 20), np.uint8)
-    solid[5:15, 5:15] = 1  # one solid square: E8 = 1
-    assert _euler_number_2d(solid) == 1
-    ring = solid.copy()
-    ring[8:12, 8:12] = 0  # one hole: E8 = 0
-    assert _euler_number_2d(ring) == 0
-    two = solid.copy()
-    two[1:3, 1:3] = 1  # two components
-    assert _euler_number_2d(two) == 2
-    # 10x10 solid square, axis-aligned: perimeter estimate = 4 sides minus
-    # corner weighting; exact isothetic value is 4*(10-1)=36 for this scheme
-    assert _perimeter_2d(solid) == pytest.approx(4 * 9, abs=4.0)
+    def test_perimeter_truth_table(self):
+        from us_video_medsam2_tpu.training.data import _perimeter_2d
+
+        rt2 = np.sqrt(2.0)
+        # (mask builder, expected perimeter, why)
+        cases = []
+        px = np.zeros((5, 5), np.uint8)
+        px[2, 2] = 1
+        cases.append((px, 0.0, "isolated pixel: border code 1 -> weight 0"))
+        ln = np.zeros((5, 5), np.uint8)
+        ln[2, 1:4] = 1
+        cases.append((ln, 1.0, "1x3 line: ends code 3 -> 0, middle code 5 -> 1"))
+        for n, grid in ((3, 7), (4, 8), (10, 20)):
+            sq = np.zeros((grid, grid), np.uint8)
+            sq[2 : 2 + n, 2 : 2 + n] = 1
+            cases.append((sq, 4.0 * (n - 1), f"{n}x{n} square: 4*(n-1)"))
+        ring = np.zeros((7, 7), np.uint8)
+        ring[2:5, 2:5] = 1
+        ring[3, 3] = 0
+        cases.append((ring, 8.0, "3x3 ring: hole doesn't change border codes"))
+        two = np.zeros((12, 12), np.uint8)
+        two[1:4, 1:4] = 1
+        two[7:10, 7:10] = 1
+        cases.append((two, 16.0, "two 3x3 blobs: 8 + 8"))
+        corner = np.zeros((6, 6), np.uint8)
+        corner[0:3, 0:3] = 1
+        cases.append((corner, 8.0, "border-touching: image edge = background"))
+        dp = np.zeros((4, 4), np.uint8)
+        dp[1, 1] = dp[2, 2] = 1
+        cases.append((dp, 0.0, "diagonal pair: both code 11 -> weight 0"))
+        plus = np.zeros((5, 5), np.uint8)
+        plus[2, 1:4] = 1
+        plus[1:4, 2] = 1
+        cases.append((plus, 4 * rt2, "plus: 4 arm tips at code 21 -> sqrt2"))
+        d4 = np.zeros((6, 6), np.uint8)
+        for i in range(4):
+            d4[i + 1, i + 1] = 1
+        cases.append((d4, 2 * rt2, "diag line of 4: middles code 21, ends 11"))
+        for mask, want, why in cases:
+            got = _perimeter_2d(mask)
+            assert got == pytest.approx(want, abs=1e-9), f"{why}: {got} != {want}"
+
+    def test_euler_truth_table(self):
+        from us_video_medsam2_tpu.training.data import _euler_number_2d
+
+        sq = np.zeros((7, 7), np.uint8)
+        sq[2:5, 2:5] = 1
+        assert _euler_number_2d(sq) == 1  # one component, no hole
+        ring = sq.copy()
+        ring[3, 3] = 0
+        assert _euler_number_2d(ring) == 0  # one component, one hole
+        two = np.zeros((12, 12), np.uint8)
+        two[1:4, 1:4] = 1
+        two[7:10, 7:10] = 1
+        assert _euler_number_2d(two) == 2  # two components
+        px = np.zeros((5, 5), np.uint8)
+        px[2, 2] = 1
+        assert _euler_number_2d(px) == 1
+        assert _euler_number_2d(px, connectivity=1) == 1
+        dp = np.zeros((4, 4), np.uint8)
+        dp[1, 1] = dp[2, 2] = 1
+        # 8-conn: one component; 4-conn: two components (Qd flips sign)
+        assert _euler_number_2d(dp) == 1
+        assert _euler_number_2d(dp, connectivity=1) == 2
+        d4 = np.zeros((6, 6), np.uint8)
+        for i in range(4):
+            d4[i + 1, i + 1] = 1
+        assert _euler_number_2d(d4) == 1
+        assert _euler_number_2d(d4, connectivity=1) == 4
+
+    def test_complexity_end_to_end(self):
+        from us_video_medsam2_tpu.training.data import AESCurriculumNPZRawDataset
+
+        sq = np.zeros((7, 7), np.uint8)
+        sq[2:5, 2:5] = 1
+        # perim/area*0.1 + |E|*0.1 = 8/9*0.1 + 0.1 (reference :592-595)
+        got = AESCurriculumNPZRawDataset._mask_complexity(sq)
+        assert got == pytest.approx(8.0 / 9.0 * 0.1 + 0.1, rel=1e-6)
+        assert AESCurriculumNPZRawDataset._mask_complexity(np.zeros((7, 7))) == 0.0
 
 
 def test_quantum_curriculum_stages(npz_dir):

@@ -288,20 +288,29 @@ def _euler_number_2d(mask: np.ndarray, connectivity: int = 2) -> int:
 
 
 def _perimeter_2d(mask: np.ndarray) -> float:
-    """Perimeter estimate matching skimage.measure.perimeter(neighborhood=4):
-    border pixels weighted by the number/kind of exposed sides
-    (isothetic/diagonal border classes with weights 1, sqrt(2), (1+sqrt(2))/2
-    — the published Benkrid et al. scheme skimage implements)."""
-    m = np.pad((np.asarray(mask) != 0).astype(np.int8), 1)
-    # count of 4-neighbors that are background, for each foreground pixel
-    exposed = (
-        (m[:-2, 1:-1] == 0).astype(np.int8)
-        + (m[2:, 1:-1] == 0)
-        + (m[1:-1, :-2] == 0)
-        + (m[1:-1, 2:] == 0)
-    ) * m[1:-1, 1:-1]
-    weights = np.array([0.0, 1.0, np.sqrt(2.0), (1.0 + np.sqrt(2.0)) / 2.0, 2.0])
-    return float(np.sum(weights[exposed]))
+    """Perimeter exactly matching skimage.measure.perimeter(neighbourhood=4),
+    the function the reference calls (sam2_datasets.py:1019). skimage's
+    published algorithm: erode with the 4-connected cross (border_value=0, so
+    the image edge counts as background), take border = mask - eroded, code
+    each border pixel as 1 + 2*(# 4-neighbor border px) + 10*(# diagonal
+    border px), and weight codes {5,7,15,17,25,27}->1, {21,33}->sqrt(2),
+    {13,23}->(1+sqrt(2))/2 (all other codes 0 — e.g. an isolated pixel has
+    code 1 and contributes nothing). Hand-computed truth table:
+    tests/test_data_pipeline.py::TestMaskComplexityTruthTable."""
+    m = np.pad((np.asarray(mask) != 0), 1)
+    core = m[1:-1, 1:-1]
+    eroded = core & m[:-2, 1:-1] & m[2:, 1:-1] & m[1:-1, :-2] & m[1:-1, 2:]
+    b = np.pad(core & ~eroded, 1).astype(np.int32)
+    code = (
+        b[1:-1, 1:-1]
+        + 2 * (b[:-2, 1:-1] + b[2:, 1:-1] + b[1:-1, :-2] + b[1:-1, 2:])
+        + 10 * (b[:-2, :-2] + b[:-2, 2:] + b[2:, :-2] + b[2:, 2:])
+    ) * b[1:-1, 1:-1]  # even codes (non-border px) all weigh 0 anyway
+    weights = np.zeros(50)
+    weights[[5, 7, 15, 17, 25, 27]] = 1.0
+    weights[[21, 33]] = np.sqrt(2.0)
+    weights[[13, 23]] = (1.0 + np.sqrt(2.0)) / 2.0
+    return float(weights[code].sum())
 
 
 class AESCurriculumNPZRawDataset(VOSRawDataset):
