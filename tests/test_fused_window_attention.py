@@ -51,6 +51,61 @@ def test_forward_matches_xla_ref(hp, wp, ws, nh, q_pool):
     assert mismatch < 0.02
 
 
+# hd=64 runs NATIVE (no 128-lane pad) since round 4 — the EfficientTAM ViT
+# trunk's head dim (vitdet.py: 384/6 and 192/3). Same kernel, half-vreg head
+# slices: cover the ViT-S ws=14 v1-path shape, a raster-path shape, and ws=7.
+HD64_GEOMETRIES = [
+    (42, 42, 14, 6, False),  # ViT-S/TI windowed blocks (32² padded to 42²)
+    (32, 32, 8, 6, False),  # raster-packed path at hd=64
+    (21, 21, 7, 8, False),
+    (64, 64, 4, 4, True),  # raster + q-pool at hd=64
+]
+
+
+@pytest.mark.parametrize("hp,wp,ws,nh,q_pool", HD64_GEOMETRIES)
+def test_forward_matches_xla_ref_hd64(hp, wp, ws, nh, q_pool):
+    rng = np.random.default_rng(21)
+    qkv = jnp.asarray(rng.standard_normal((2, hp, wp, 3 * nh * 64)), jnp.bfloat16)
+    got = _run(qkv, ws=ws, nh=nh, hd=64, q_pool=q_pool, interpret=True)
+    want = _xla_ref(qkv, ws, nh, 64, q_pool)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=2e-2, atol=2e-2
+    )
+    mismatch = np.mean(np.asarray(got) != np.asarray(want))
+    assert mismatch < 0.02
+
+
+# real_h cut: maps bottom-padded for the window grid (32² -> 42² at ws=14)
+# skip the last strip's pad-query rows — outputs there come back zero and the
+# model slices them off. (real_h, hp, wp, ws, nh, hd, q_pool)
+CUT_GEOMETRIES = [
+    (32, 42, 42, 14, 6, 64, False),  # ViT-S/TI windowed blocks
+    (32, 42, 42, 14, 4, 128, False),  # hiera-t512 blocks_4/6/8
+    (32, 42, 42, 14, 8, 128, True),  # hiera-t512 blocks_10 (q-pool)
+    (16, 21, 21, 7, 8, 128, False),  # hiera-t512 blocks_11
+]
+
+
+@pytest.mark.parametrize("rh,hp,wp,ws,nh,hd,q_pool", CUT_GEOMETRIES)
+def test_real_h_cut_matches_on_real_rows(rh, hp, wp, ws, nh, hd, q_pool):
+    rng = np.random.default_rng(31)
+    qkv = jnp.asarray(rng.standard_normal((2, hp, wp, 3 * nh * hd)), jnp.bfloat16)
+    got = _run(qkv, ws=ws, nh=nh, hd=hd, q_pool=q_pool, real_h=rh, interpret=True)
+    full = _run(qkv, ws=ws, nh=nh, hd=hd, q_pool=q_pool, interpret=True)
+    assert got.shape == full.shape
+    ro = rh // 2 if q_pool else rh  # real output rows
+    np.testing.assert_array_equal(
+        np.asarray(got[:, :ro]), np.asarray(full[:, :ro])
+    ), "real rows must be bit-identical with and without the cut"
+    # the skipped rows of the LAST strip are exact zeros
+    wso = ws // 2 if q_pool else ws
+    n_rows = hp // ws
+    last = np.asarray(got[:, (n_rows - 1) * wso :])
+    rr_out = ro - (n_rows - 1) * wso
+    assert (last[:, rr_out:] == 0).all()
+
+
 def test_forward_f32_exactish():
     # f32 end-to-end: only reassociation-free ops -> tight tolerance
     qkv = _mk(64, 64, 2, seed=3, dtype=jnp.float32)

@@ -101,6 +101,10 @@ def _kernel(
     nh: int,
     hd: int,
     q_pool: bool,
+    q_lq: int = 0,  # >0: only the first q_lq query tokens per window are
+    # real (last strip of a padded map); the rest are computed as zeros —
+    # their outputs are sliced off by the caller, so skipping them is exact
+    # and halves the strip's MXU row-tiles at ws=14 (196 -> 56 rows)
     w_ref=None,  # [Cin, 3*nh*hd] qkv weight (in-kernel dense variant)
     b_ref=None,  # [1, 3*nh*hd] f32 bias
 ):
@@ -161,25 +165,36 @@ def _kernel(
     # ---- v1 path (odd/large windows, ws ∈ {14, 7} at t512): windows to the
     # batch dim in VMEM, per-window (g=1) or block-diag-packed attention ----
     g = _pick_group(n_win, lk)
-    arr = strip.reshape(ws, n_win, ws, 3, nh, hd)
-    arr = jnp.transpose(arr, (1, 0, 2, 3, 4, 5)).reshape(n_win, lk, 3, nh, hd)
 
     if g > 1:
         rows = jax.lax.broadcasted_iota(jnp.int32, (g * lq, g * lk), 0) // lq
         cols = jax.lax.broadcasted_iota(jnp.int32, (g * lq, g * lk), 1) // lk
         bias = jnp.where(rows == cols, 0.0, NEG_INF).astype(jnp.float32)
 
+    def _towin(a):
+        # [ws, wp, hd] -> [n_win, lk, hd]: sublane-only window relayout (the
+        # lane dim never splits, so hd=64 half-vreg heads compile — Mosaic
+        # rejects multi-dim lane splits like 1152 -> (3, nh, 64))
+        a = a.reshape(ws, n_win, ws, hd)
+        return jnp.transpose(a, (1, 0, 2, 3)).reshape(n_win, lk, hd)
+
+    lq_eff = q_lq if (q_lq and g == 1) else lq
     for h in range(nh):
-        q = arr[:, :, 0, h, :]  # [n_win, lk, hd]
-        k = arr[:, :, 1, h, :]
-        v = arr[:, :, 2, h, :]
+        # per-(qkv, head) 2D lane slices at hd-multiple offsets, then the
+        # window transpose per head — same total relayout volume as one big
+        # 6D transpose, in lane-split-free pieces
+        q = _towin(strip[:, :, (0 * nh + h) * hd : (0 * nh + h + 1) * hd])
+        k = _towin(strip[:, :, (1 * nh + h) * hd : (1 * nh + h + 1) * hd])
+        v = _towin(strip[:, :, (2 * nh + h) * hd : (2 * nh + h + 1) * hd])
         if q_pool:
             q = (
                 q.reshape(n_win, wso, 2, wso, 2, hd)
                 .max(axis=(2, 4))
                 .reshape(n_win, lq, hd)
             )
-        qg = q.reshape(n_win // g, g * lq, hd)
+        if lq_eff < lq:  # keep only the real (leading, row-major) queries
+            q = q[:, :lq_eff]
+        qg = q.reshape(n_win // g, g * lq_eff, hd)
         kg = k.reshape(n_win // g, g * lk, hd)
         vg = v.reshape(n_win // g, g * lk, hd)
         outs = []
@@ -188,8 +203,10 @@ def _kernel(
             if g > 1:
                 s = s + bias
             o = _softmax_av(s, vg[t], out_ref.dtype)
-            outs.append(o.reshape(g, lq, hd))
+            outs.append(o.reshape(g, lq_eff, hd))
         o_h = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+        if lq_eff < lq:  # zero-fill the discarded query rows
+            o_h = jnp.pad(o_h, ((0, 0), (0, lq - lq_eff), (0, 0)))
         # inverse: [n_win, wso, wso, hd] -> [wso, n_win*wso, hd]
         o_h = o_h.reshape(n_win, wso, wso, hd)
         o_h = jnp.transpose(o_h, (1, 0, 2, 3)).reshape(wso, n_win * wso, hd)
@@ -246,46 +263,80 @@ def _run_qkv(y, w, b, *, ws, nh, hd, q_pool, interpret=False):
     )(y, w.astype(y.dtype), b.reshape(1, -1).astype(jnp.float32))
 
 
-def _run(qkv, *, ws, nh, hd, q_pool, interpret=False):
+def _last_strip_q_rows(hp, ws, q_pool, real_h, gc) -> int:
+    """Real query ROWS in the last window strip of a bottom-padded map, or 0
+    when no cut applies (map unpadded, raster path, or odd rows under q-pool).
+    Exact: the cut rows' outputs are sliced off by the caller (hieradet pads
+    32² maps to 42² at ws=14 — 10 of the last strip's 14 rows are pad)."""
+    if real_h is None or real_h >= hp or gc > 0:
+        return 0
+    rr = real_h - (hp // ws - 1) * ws
+    if rr <= 0 or rr >= ws or (q_pool and rr % 2):
+        return 0
+    return rr
+
+
+def _run(qkv, *, ws, nh, hd, q_pool, real_h=None, interpret=False):
     b, hp, wp, _ = qkv.shape
     wso = ws // 2 if q_pool else ws
     n_rows = hp // ws
     n_win = wp // ws
-    kern = functools.partial(_kernel, ws=ws, nh=nh, hd=hd, q_pool=q_pool)
     lk = ws * ws
     lq = wso * wso
-    flops = 2 * b * n_rows * n_win * nh * lq * lk * hd * 2
-    return pl.pallas_call(
-        kern,
-        grid=(b, n_rows),
-        in_specs=[
-            pl.BlockSpec(
-                (1, ws, wp, 3 * nh * hd),
+
+    def call(grid_rows, row_off, q_lq):
+        kern = functools.partial(
+            _kernel, ws=ws, nh=nh, hd=hd, q_pool=q_pool, q_lq=q_lq
+        )
+        q_eff = q_lq or lq
+        flops = 2 * b * grid_rows * n_win * nh * q_eff * lk * hd * 2
+        return pl.pallas_call(
+            kern,
+            grid=(b, grid_rows),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, ws, wp, 3 * nh * hd),
+                    lambda bi, i, row_off=row_off: (bi, row_off + i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (1, wso, n_win * wso, nh * hd),
                 lambda bi, i: (bi, i, 0, 0),
                 memory_space=pltpu.VMEM,
-            )
-        ],
-        out_specs=pl.BlockSpec(
-            (1, wso, n_win * wso, nh * hd),
-            lambda bi, i: (bi, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, n_rows * wso, n_win * wso, nh * hd), qkv.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=(qkv.size + b * n_rows * wso * n_win * wso * nh * hd)
-            * qkv.dtype.itemsize,
-            transcendentals=b * n_rows * n_win * nh * lq * lk,
-        ),
-        interpret=interpret,
-    )(qkv)
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, grid_rows * wso, n_win * wso, nh * hd), qkv.dtype
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=(
+                    b * grid_rows * ws * wp * 3 * nh * hd
+                    + b * grid_rows * wso * n_win * wso * nh * hd
+                )
+                * qkv.dtype.itemsize,
+                transcendentals=b * grid_rows * n_win * nh * q_eff * lk,
+            ),
+            interpret=interpret,
+        )(qkv)
+
+    rr = _last_strip_q_rows(hp, ws, q_pool, real_h, _pick_raster_gc(ws, wp))
+    if not rr:
+        return call(n_rows, 0, 0)
+    # shape-specialized last strip: only rr of its ws query rows are real
+    rr_out = rr // 2 if q_pool else rr
+    main = call(n_rows - 1, 0, 0)
+    last = call(1, n_rows - 1, rr_out * wso)
+    return jnp.concatenate([main, last], axis=1)
 
 
 def fused_window_attention_available(
     hp: int, wp: int, ws: int, nh: int, hd: int, dtype
 ) -> bool:
-    """TPU, bf16, lane-aligned head dim, whole-multiple window grid, and the
-    qkv strip (plus its in-VMEM window relayout) fitting scoped VMEM."""
+    """TPU, bf16, lane-aligned head dim (a multiple of 64: full- or half-vreg
+    slices — hd=64 runs NATIVE, halving the in-VMEM relayout volume vs the
+    128-lane pad), whole-multiple window grid, and the qkv strip (plus its
+    in-VMEM window relayout) fitting scoped VMEM."""
     if os.environ.get("US_MEDSAM2_DISABLE_FUSED_WINDOW_ATTN"):
         return False
     try:
@@ -296,7 +347,7 @@ def fused_window_attention_available(
     return (
         on_tpu
         and dtype == jnp.bfloat16
-        and hd % 128 == 0
+        and hd % 64 == 0
         and ws > 0
         and hp % ws == 0
         and wp % ws == 0
@@ -334,18 +385,22 @@ def _xla_ref(qkv, ws, nh, hd, q_pool):
     return o.reshape(b, nwh * wso, nww * wso, nh * hd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-def fused_window_attention(qkv, ws, nh, hd, q_pool):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def fused_window_attention(qkv, ws, nh, hd, q_pool, real_h=None):
     """[B, Hp, Wp, 3*nh*hd] -> [B, Hpo, Wpo, nh*hd] windowed attention
-    (forward: Pallas; backward: XLA recompute)."""
-    return _run(qkv, ws=ws, nh=nh, hd=hd, q_pool=q_pool)
+    (forward: Pallas; backward: XLA recompute). real_h = the UNPADDED map
+    height: pad-query rows in the last window strip are skipped (their rows
+    come back zero — the caller slices them off)."""
+    return _run(qkv, ws=ws, nh=nh, hd=hd, q_pool=q_pool, real_h=real_h)
 
 
-def _fwd(qkv, ws, nh, hd, q_pool):
-    return _run(qkv, ws=ws, nh=nh, hd=hd, q_pool=q_pool), (qkv,)
+def _fwd(qkv, ws, nh, hd, q_pool, real_h):
+    return _run(qkv, ws=ws, nh=nh, hd=hd, q_pool=q_pool, real_h=real_h), (qkv,)
 
 
-def _bwd(ws, nh, hd, q_pool, res, grad):
+def _bwd(ws, nh, hd, q_pool, real_h, res, grad):
+    # grads on the skipped pad rows are zero (the model discards those rows),
+    # so differentiating the full-map reference is exact
     (qkv,) = res
     _, vjp = jax.vjp(lambda a: _xla_ref(a, ws, nh, hd, q_pool), qkv)
     return vjp(grad)
@@ -374,7 +429,7 @@ def fused_qkv_window_attention_available(
     return (
         on_tpu
         and dtype == jnp.bfloat16
-        and hd % 128 == 0
+        and hd % 64 == 0
         and ws > 0
         and hp % ws == 0
         and wp % ws == 0

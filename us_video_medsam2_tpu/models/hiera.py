@@ -277,6 +277,19 @@ class MultiScaleAttention(nn.Module):
                 # (hieradet.py pads x with zeros; Dense(0) = bias)
                 x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
             hs, wsp = h + pad_h, w + pad_w
+            if (
+                hd_pad != head_dim
+                and head_dim % 64 == 0
+                and not os.environ.get("US_MEDSAM2_DISABLE_HD64_NATIVE")
+                and fused_window_attention_available(
+                    hs, wsp, ws, nh_heads, head_dim, self.dtype
+                )
+            ):
+                # the fused kernel slices heads in-kernel, so a half-vreg
+                # head dim (64) needs no 128-lane weight pad: running native
+                # halves the qkv/O HBM bytes and the kernel's in-VMEM window
+                # relayout volume (ViT-S ws=14 blocks, hd 64)
+                hd_pad = head_dim
         qkv_mod = _QKVDense(
             features=self.dim_out * 3,
             num_heads=nh_heads,
@@ -337,7 +350,7 @@ class MultiScaleAttention(nn.Module):
             # dense-output layout (kernels/fused_window_attention.py) — the
             # XLA lowering of the same sequence costs ~24 ms/64f in HBM
             # transpose/score traffic (round-3 trace)
-            o = fused_window_attention(qkv, ws, nh_heads, hd_pad, self.q_pool)
+            o = fused_window_attention(qkv, ws, nh_heads, hd_pad, self.q_pool, h)
             ho, wo = (h // 2, w // 2) if self.q_pool else (h, w)
             if o.shape[1] > ho or o.shape[2] > wo:
                 o = o[:, :ho, :wo]
