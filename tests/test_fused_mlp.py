@@ -34,6 +34,38 @@ def test_fused_matches_xla_ref(n, d, f, act):
     )
 
 
+@pytest.mark.parametrize("f_chunks", [2, 4])
+def test_f_chunked_matches_monolithic(f_chunks):
+    """Splitting the hidden f axis into accumulation chunks (round-4 VMEM
+    optimization, ViT-S d=384/f=1536 -> bn=1024/ch=4) only reassociates the
+    final f32 adds: f32 inputs must agree to ~1 ulp with the ch=1 kernel."""
+    rng = np.random.default_rng(7)
+    n, d, f = 256, 384, 1536
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal((d,)) * 0.1 + 1.0, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal((d,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((d, f)) / np.sqrt(d), jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((f, d)) / np.sqrt(f), jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((d,)) * 0.1, jnp.float32)
+    kw = dict(eps=1e-6, act="gelu", block_n=256, interpret=True)
+    mono = fused_mlp._run(x, gamma, beta, w1, b1, w2, b2, **kw)
+    chunked = fused_mlp._run(x, gamma, beta, w1, b1, w2, b2, f_chunks=f_chunks, **kw)
+    np.testing.assert_allclose(  # measured max 1.7e-6 abs / 1.6e-4 rel
+        np.asarray(chunked), np.asarray(mono), rtol=2e-4, atol=5e-6
+    )
+
+
+def test_pick_block_n_shapes():
+    """The tile picker must split f exactly where the monolithic tile caps:
+    ViT-S (384/1536) gets a 1024 tile via chunking; hiera stage-1 (96/384)
+    stays monolithic at 2048."""
+    assert fused_mlp.pick_block_n(1024, 384, 1536) == (1024, 2)
+    assert fused_mlp.pick_block_n(16384, 96, 384) == (2048, 1)
+    bn, ch = fused_mlp.pick_block_n(441, 768, 3072)
+    assert bn == 256 and ch >= 1
+
+
 def test_fused_matches_module_path():
     """The _xla_ref used for the VJP must itself match the module composition
     (LayerNorm + MLP + residual) that the fused path replaces in hiera.py."""

@@ -76,6 +76,7 @@ def _kernel(
     *,
     eps: float,
     act: str,
+    f_chunks: int = 1,
 ):
     x = x_ref[:]
     xf = x.astype(jnp.float32)
@@ -85,30 +86,48 @@ def _kernel(
     y = y * g_ref[0, :] + b_ref[0, :]
     y = y.astype(x_ref.dtype)  # module casts LN out to compute dtype
 
-    h = jax.lax.dot_general(
-        y, w1_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    h = h + b1_ref[0, :]
-    # flax Dense rounds the f32 accumulator to the output dtype, and the
-    # activation is evaluated on those rounded values (in f32 internally)
-    h = _act_f32(
-        act, h.astype(x_ref.dtype).astype(jnp.float32), in_kernel=True
-    ).astype(x_ref.dtype)
-    o = jax.lax.dot_general(
-        h, w2_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    # f axis in chunks: peak VMEM residency drops from [TN, F] f32 to
+    # [TN, F/chunks] f32 + a [TN, D] f32 accumulator, buying token tiles
+    # >= 1024 at d=384/f=1536 where the monolithic form capped at 512.
+    # Per-element math is identical; only the D2 contraction splits into
+    # f_chunks f32 partial sums (the MXU accumulates in f32 either way, so
+    # the reassociation is one f32 add per chunk boundary — sub-bf16-ulp).
+    fc = w1_ref.shape[1] // f_chunks
+    o = None
+    for c in range(f_chunks):
+        h = jax.lax.dot_general(
+            y,
+            w1_ref[:, c * fc : (c + 1) * fc],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        h = h + b1_ref[0, c * fc : (c + 1) * fc]
+        # flax Dense rounds the f32 accumulator to the output dtype, and the
+        # activation is evaluated on those rounded values (in f32 internally)
+        h = _act_f32(
+            act, h.astype(x_ref.dtype).astype(jnp.float32), in_kernel=True
+        ).astype(x_ref.dtype)
+        oc = jax.lax.dot_general(
+            h,
+            w2_ref[c * fc : (c + 1) * fc, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o = oc if o is None else o + oc
     o = o + b2_ref[0, :]
     out_ref[:] = x + o.astype(x_ref.dtype)
 
 
-def _run(x, gamma, beta, w1, b1, w2, b2, *, eps, act, block_n, interpret=False):
+def _run(
+    x, gamma, beta, w1, b1, w2, b2, *, eps, act, block_n, f_chunks=1, interpret=False
+):
     n, d = x.shape
     f = w1.shape[1]
     pad = (-n) % block_n
     xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
     np_ = xp.shape[0]
     out = pl.pallas_call(
-        functools.partial(_kernel, eps=eps, act=act),
+        functools.partial(_kernel, eps=eps, act=act, f_chunks=f_chunks),
         grid=(np_ // block_n,),
         in_specs=[
             pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -139,15 +158,33 @@ def _run(x, gamma, beta, w1, b1, w2, b2, *, eps, act, block_n, interpret=False):
     return out[:n] if pad else out
 
 
-def pick_block_n(n: int, d: int, f: int) -> int:
-    """Largest token tile fitting scoped VMEM (hidden f32 tile + bf16 weights
-    + in/out tiles). Measured on v5e: bn=1024-2048 is 30-40% faster than 256
-    at the trunk shapes (docs/ROADMAP.md round-2)."""
+def pick_block_n(n: int, d: int, f: int) -> tuple[int, int]:
+    """(token tile, f chunks): the largest tile fitting scoped VMEM (hidden
+    f32 tile + bf16 weights + in/out tiles), splitting the hidden f axis when
+    that buys a bigger tile. Measured on v5e: bn=1024-2048 is 30-40% faster
+    than 256 at the trunk shapes (round-2); at the ViT-S d=384/f=1536 shape
+    (round-4, in-model) bn=1024/ch=2 runs 1.17 ms/block vs 1.23 at (1024,1),
+    1.22 at (512,1) and 1.30 at (1024,4) — wide tile first, minimal split
+    second — and (2048,4) OOMs scoped VMEM at 16.02M/16M."""
+    import os
+
+    ov = os.environ.get("US_MEDSAM2_MLP_TILE")  # A/B tuning override "bn,ch"
+    if ov:
+        bn, ch = (int(v) for v in ov.split(","))
+        return bn, ch
+    # Measured winners first: the VMEM model below is deliberately
+    # conservative (Mosaic double-buffers the token tiles whenever the grid
+    # has >1 program, and both f chunks can be live at once — (2048,2) at
+    # d=192/f=768 OOMs scoped VMEM at 16.22M even though the naive model says
+    # it fits), so shapes we have profiled in-model are pinned here.
+    measured = {(384, 1536): (1024, 2)}
+    if (d, f) in measured and measured[(d, f)][0] <= max(n, 256):
+        return measured[(d, f)]
     budget = 8 * 2**20 - 2 * d * f * 2
     for bn in (2048, 1024, 512, 256):
         if bn <= max(n, 256) and bn * (f * 4 + d * 8) <= budget:
-            return bn
-    return 256
+            return bn, 1
+    return 256, 1
 
 
 def ln_mlp_residual_available(n: int, d: int, f: int, dtype) -> bool:
@@ -171,12 +208,15 @@ def ln_mlp_residual_available(n: int, d: int, f: int, dtype) -> bool:
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10)
 )
-def ln_mlp_residual(x, gamma, beta, w1, b1, w2, b2, eps, act, block_n):
+def ln_mlp_residual(x, gamma, beta, w1, b1, w2, b2, eps, act, block_n, f_chunks=1):
     """out = x + Dense2(act(Dense1(LN(x)))) over [N, D] tokens (forward: Pallas;
     backward: XLA recompute of the same math)."""
-    return _run(x, gamma, beta, w1, b1, w2, b2, eps=eps, act=act, block_n=block_n)
+    return _run(
+        x, gamma, beta, w1, b1, w2, b2,
+        eps=eps, act=act, block_n=block_n, f_chunks=f_chunks,
+    )
 
 
 def _xla_ref(x, gamma, beta, w1, b1, w2, b2, eps, act):
@@ -195,12 +235,15 @@ def _xla_ref(x, gamma, beta, w1, b1, w2, b2, eps, act):
     return x + o
 
 
-def _fwd(x, gamma, beta, w1, b1, w2, b2, eps, act, block_n):
-    out = _run(x, gamma, beta, w1, b1, w2, b2, eps=eps, act=act, block_n=block_n)
+def _fwd(x, gamma, beta, w1, b1, w2, b2, eps, act, block_n, f_chunks=1):
+    out = _run(
+        x, gamma, beta, w1, b1, w2, b2,
+        eps=eps, act=act, block_n=block_n, f_chunks=f_chunks,
+    )
     return out, (x, gamma, beta, w1, b1, w2, b2)
 
 
-def _bwd(eps, act, block_n, res, g):
+def _bwd(eps, act, block_n, f_chunks, res, g):
     x, gamma, beta, w1, b1, w2, b2 = res
     _, vjp = jax.vjp(
         lambda *a: _xla_ref(*a, eps=eps, act=act), x, gamma, beta, w1, b1, w2, b2

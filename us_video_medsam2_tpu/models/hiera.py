@@ -486,7 +486,7 @@ class MultiScaleBlock(nn.Module):
                 p["mlp"]["layers_1"]["bias"],
                 1e-6,
                 "gelu",
-                pick_block_n(n_tok, self.dim_out, hidden),
+                *pick_block_n(n_tok, self.dim_out, hidden),
             )
             return out.reshape(x.shape)
         y = mlp(norm2(x))

@@ -116,7 +116,7 @@ class ViTBlock(nn.Module):
                 p["mlp"]["layers_1"]["bias"],
                 1e-6,
                 "gelu",
-                pick_block_n(n_tok, self.dim, hidden),
+                *pick_block_n(n_tok, self.dim, hidden),
             )
             return out.reshape(x.shape)
         y = mlp(norm2(x))
