@@ -105,3 +105,32 @@ def test_bf16_path_runs():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2
     )
+
+
+def test_remat_form_matches_train_form():
+    """flash_attention_train_remat under jax.checkpoint with the
+    save_only_these_names(FLASH_RESID) policy (the train-step configuration,
+    train_model.py::_remat_policy) must produce the identical forward and
+    identical q/k/v gradients as the plain custom_vjp form — the saved
+    (out, lse) replace the backward's fwd-kernel re-run, nothing else."""
+    q, k, v, mask = _inputs(lq=256, lk=512)
+    policy = jax.checkpoint_policies.save_only_these_names(fd.FLASH_RESID)
+
+    def loss_plain(q, k, v):
+        out = fd.flash_attention_train(q, k, v, mask, 7, 0.1, 128, 128, True)
+        return jnp.sum(out * jnp.cos(out))
+
+    @functools.partial(jax.checkpoint, policy=policy)
+    def loss_remat(q, k, v):
+        out = fd.flash_attention_train_remat(q, k, v, mask, 7, 0.1, 128, 128, True)
+        return jnp.sum(out * jnp.cos(out))
+
+    np.testing.assert_array_equal(
+        np.asarray(loss_plain(q, k, v)), np.asarray(loss_remat(q, k, v))
+    )
+    g_p = jax.grad(loss_plain, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_remat, argnums=(0, 1, 2))(q, k, v)
+    for got, ref, name in zip(g_r, g_p, "qkv"):
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(ref), err_msg=f"d{name} mismatch"
+        )

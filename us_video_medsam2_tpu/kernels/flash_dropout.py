@@ -409,6 +409,71 @@ def _train_bwd(rate, block_q, block_k, interpret, res, g):
 flash_attention_train.defvjp(_train_fwd, _train_bwd)
 
 
+# ------------------------------------------------- remat-savable entry
+# Under jax.checkpoint, a custom_vjp's residuals are produced by re-running
+# its fwd rule in the backward pass — so the fwd Pallas kernel executed
+# fwd + recompute + bwd per layer (~11 ms/step over the 4 memory-attention
+# layers, round-3 trace). This split form computes (out, lse) with a PLAIN
+# stop-gradient forward whose values are checkpoint_name'd; autodiff routes
+# through an identity-forward custom_vjp that takes them as inputs. With
+# jax.checkpoint(policy=save_only_these_names(FLASH_RESID)), the saved values
+# satisfy the residuals and the fwd kernel is DCE'd from the recompute —
+# verified to produce bit-identical gradients (tests/test_flash_dropout.py).
+FLASH_RESID = "flash_dropout_resid"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _flash_apply(
+    q, k, v, key_mask, seed, out, lse, rate, block_q, block_k, interpret
+):
+    return out
+
+
+def _apply_fwd(q, k, v, key_mask, seed, out, lse, rate, block_q, block_k, interpret):
+    return out, (q, k, v, key_mask, seed, lse, out)
+
+
+def _apply_bwd(rate, block_q, block_k, interpret, res, g):
+    q, k, v, key_mask, seed, lse, out = res
+    dq, dk, dv = _bwd_call(
+        q, k, v, key_mask, seed, lse, out, g, rate, block_q, block_k, interpret
+    )
+    dmask = (
+        None if key_mask is None else jnp.zeros(key_mask.shape, jax.dtypes.float0)
+    )
+    dseed = jnp.zeros((), jax.dtypes.float0)
+    # out/lse enter via stop_gradient — zero cotangent by construction
+    return dq, dk, dv, dmask, dseed, jnp.zeros_like(out), jnp.zeros_like(lse)
+
+
+_flash_apply.defvjp(_apply_fwd, _apply_bwd)
+
+
+def flash_attention_train_remat(
+    q, k, v, key_mask, seed, rate=0.0, block_q=256, block_k=512, interpret=False
+):
+    """flash_attention_train whose fwd outputs survive an enclosing
+    jax.checkpoint when its policy saves FLASH_RESID-named values."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    out, lse = _fwd_call(
+        jax.lax.stop_gradient(q),
+        jax.lax.stop_gradient(k),
+        jax.lax.stop_gradient(v),
+        key_mask,
+        seed,
+        rate,
+        block_q,
+        block_k,
+        interpret,
+    )
+    out = checkpoint_name(out, FLASH_RESID)
+    lse = checkpoint_name(lse, FLASH_RESID)
+    return _flash_apply(
+        q, k, v, key_mask, seed, out, lse, rate, block_q, block_k, interpret
+    )
+
+
 def flash_train_available(q_shape, k_shape, dtype=None) -> bool:
     """Gate for the training kernel: TPU backend, lane-aligned head dim,
     full K/V per batch-head resident in VMEM, enough rows to tile."""

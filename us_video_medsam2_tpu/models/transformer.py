@@ -139,7 +139,7 @@ class RoPEAttention(nn.Module):
             # mask is reused by the XLA fallback below, so CPU and TPU draw the
             # identical pattern for a given rng key.
             from us_video_medsam2_tpu.kernels.flash_dropout import (
-                flash_attention_train,
+                flash_attention_train_remat,
                 flash_train_available,
                 keep_mask_reference,
             )
@@ -148,7 +148,12 @@ class RoPEAttention(nn.Module):
                 jax.random.bits(self.make_rng("dropout"), (), "uint32"), jnp.int32
             )
             if flash_train_available(q.shape, k.shape, k.dtype):
-                out = flash_attention_train(q, k, v, key_mask, seed, self.dropout)
+                # remat-savable form: the enclosing train-step checkpoint
+                # saves the fwd (out, lse) instead of re-running the fwd
+                # kernel in backward (train_model.py passes the policy)
+                out = flash_attention_train_remat(
+                    q, k, v, key_mask, seed, self.dropout
+                )
             else:
                 bsz, h, lq, d_h = q.shape
                 lk = k.shape[-2]

@@ -58,6 +58,17 @@ class TrainSimConfig:
     num_frames_to_correct_for_eval: int = 1
 
 
+def _remat_policy():
+    """Remat policy for the frame/correction checkpoints: recompute everything
+    EXCEPT the flash-dropout fwd outputs (kernels/flash_dropout.py::FLASH_RESID)
+    — the custom-vjp backward needs its (out, lse) anyway, so saving them
+    removes one full fwd Pallas pass per memory-attention layer per step
+    (round-3 trace: fwd+recompute+bwd was ~11 ms/step over 4 layers)."""
+    from us_video_medsam2_tpu.kernels.flash_dropout import FLASH_RESID
+
+    return jax.checkpoint_policies.save_only_these_names(FLASH_RESID)
+
+
 def _sample_plan(rng, sim: TrainSimConfig, t: int, is_training: bool):
     """Traced prompt plan (reference prepare_prompt_inputs, model/sam2.py:146-267)."""
     k_pt, k_box, k_ninit, k_init, k_ncorr, k_corr = jax.random.split(rng, 6)
@@ -296,7 +307,7 @@ def train_forward(
         # of storing S copies (reference use_act_ckpt_iterative_pt_sampling,
         # training/model/sam2.py:493-501)
         carry, corr_steps = jax.lax.scan(
-            jax.checkpoint(corr_body, prevent_cse=False),
+            jax.checkpoint(corr_body, prevent_cse=False, policy=_remat_policy()),
             step0,
             (jnp.arange(n_corr_pts), keys[3 : 3 + n_corr_pts]),
         )
@@ -339,7 +350,7 @@ def train_forward(
 
     xs = (jnp.arange(t), plan["order"], is_init_pos, pos_keys)
     bank, stacked = jax.lax.scan(
-        jax.checkpoint(frame_body, prevent_cse=False), bank, xs
+        jax.checkpoint(frame_body, prevent_cse=False, policy=_remat_policy()), bank, xs
     )
 
     # finals scattered back to frame order for the temporal loss
