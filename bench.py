@@ -138,6 +138,58 @@ def main(cfg_name="sam2.1_hiera_t512"):
             fps = float(np.median(run_fps))
             break
 
+    # Device self-time + MFU: wall FPS through the remote-TPU tunnel swings
+    # with per-dispatch RTT (±40% observed across sessions, docs/ROADMAP.md);
+    # the STABLE number is XLA op self-time from an xprof trace of the same
+    # compiled propagation, and MFU positions it against the chip's bf16
+    # peak. FLOPs are counted analytically by walking the program's jaxpr
+    # (utils/flops.py — scan bodies × trip count, Pallas sites counted via
+    # their XLA-math fallbacks; XLA's own cost_analysis counts loop bodies
+    # once and would under-report 64x here). The reference harness reports
+    # wall FPS only (efficient_track_anything/benchmark.py:86-106).
+    device_ms_per_frame = mfu_pct = flops_per_frame_g = None
+    if on_tpu:
+        try:
+            import shutil
+            import tempfile
+
+            from us_video_medsam2_tpu.utils.flops import fn_flops
+            from us_video_medsam2_tpu.utils.traceparse import (
+                device_self_time_ms,
+                peak_bf16_flops,
+            )
+
+            tdir = tempfile.mkdtemp(prefix="bench_trace_")
+            try:
+                jax.profiler.start_trace(tdir)
+                run()
+                jax.profiler.stop_trace()
+                dev_ms_total = device_self_time_ms(tdir)
+            finally:
+                shutil.rmtree(tdir, ignore_errors=True)
+            total_flops = fn_flops(
+                predictor._propagate,
+                predictor.params,
+                state.images,
+                state.bank,
+                jnp.asarray(0),
+                jnp.asarray(state.num_frames - 1),
+                num_frames=state.num_frames,
+                reverse=False,
+                max_cond_slots=1,
+            )
+            device_ms_per_frame = round(dev_ms_total / (num_frames - 1), 3)
+            flops_per_frame_g = round(total_flops / (num_frames - 1) / 1e9, 2)
+            peak = peak_bf16_flops(jax.devices()[0].device_kind)
+            if peak and total_flops > 0 and dev_ms_total > 0:
+                mfu_pct = round(
+                    100.0 * total_flops / (dev_ms_total / 1e3) / peak, 2
+                )
+        except Exception:  # noqa: BLE001 — never fail the headline on profiling
+            import traceback
+
+            traceback.print_exc()
+
     # p50 per-frame latency through the STREAMING path (chunked scan), the
     # latency a consumer of propagate_in_video(chunk_size=K) observes per frame
     # (BASELINE.md tracks p50 per-frame latency alongside FPS). Includes the
@@ -195,6 +247,10 @@ def main(cfg_name="sam2.1_hiera_t512"):
                 "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
                 "p50_frame_latency_ms": round(p50_ms, 2),
                 "click_p50_ms": round(click_p50, 2),
+                # stable device-side metrics (None off-TPU / if tracing failed)
+                "device_ms_per_frame": device_ms_per_frame,
+                "mfu_pct": mfu_pct,
+                "flops_per_frame_gflop": flops_per_frame_g,
             }
         )
     )

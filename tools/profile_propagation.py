@@ -13,12 +13,8 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import collections
-import glob
-import gzip
 import json
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -71,68 +67,15 @@ def capture(out_dir: str, num_frames: int, cfg_name: str = "sam2.1_hiera_t512") 
     print(f"trace written to {out_dir}", file=sys.stderr)
 
 
-def _module_of(tf_op: str) -> str:
-    tf = re.sub(r"^jit\([^)]*\)/", "", tf_op)
-    tf = re.sub(r"(while|body|closed_call|cond|branch_\d+_fun)/", "", tf)
-    parts = tf.split("/")
-    keep = parts[: min(4, len(parts))]
-    return "/".join(keep[:-1]) if len(keep) > 1 else tf
-
-
 def analyze(out_dir: str, top: int = 30, frames: int = 64) -> None:
     """Parse the trace-viewer JSON: self-time per HLO category / module / op."""
-    paths = sorted(
-        glob.glob(os.path.join(out_dir, "**", "*.trace.json.gz"), recursive=True)
-    )
-    if not paths:
-        print("no trace.json.gz found under", out_dir, file=sys.stderr)
-        return
-    with gzip.open(paths[-1]) as f:
-        data = json.load(f)
-    all_evs = data.get("traceEvents", [])
-    # find the device pid and its "XLA Ops" tid
-    dev_pid = None
-    for e in all_evs:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            if "TPU" in e["args"]["name"] or "device:" in e["args"]["name"]:
-                dev_pid = e["pid"]
-    ops_tid = None
-    for e in all_evs:
-        if (
-            e.get("ph") == "M"
-            and e.get("name") == "thread_name"
-            and e.get("pid") == dev_pid
-            and e["args"]["name"] == "XLA Ops"
-        ):
-            ops_tid = e["tid"]
-    evs = [
-        e
-        for e in all_evs
-        if e.get("ph") == "X" and e.get("pid") == dev_pid and e.get("tid") == ops_tid
-    ]
-    evs.sort(key=lambda e: (e["ts"], -e["dur"]))
+    from us_video_medsam2_tpu.utils.traceparse import parse_trace
 
-    stack: list = []  # (end_ts, name, module, category)
-    self_op = collections.Counter()
-    self_mod = collections.Counter()
-    self_cat = collections.Counter()
-    args_of: dict = {}
-    for e in evs:
-        while stack and stack[-1][0] <= e["ts"] + 1e-9:
-            stack.pop()
-        if stack:
-            _, pn, pm, pc = stack[-1]
-            self_op[pn] -= e["dur"]
-            self_mod[pm] -= e["dur"]
-            self_cat[pc] -= e["dur"]
-        a = e.get("args") or {}
-        mod = _module_of(a.get("tf_op", "?"))
-        cat = a.get("hlo_category", "?")
-        self_op[e["name"]] += e["dur"]
-        self_mod[mod] += e["dur"]
-        self_cat[cat] += e["dur"]
-        args_of.setdefault(e["name"], a)
-        stack.append((e["ts"] + e["dur"], e["name"], mod, cat))
+    try:
+        self_op, self_mod, self_cat, args_of = parse_trace(out_dir)
+    except FileNotFoundError as e:
+        print(e, file=sys.stderr)
+        return
 
     total = sum(self_op.values())
     print(f"total device self time: {total/1e3:.2f} ms  ({total/frames/1e3:.3f} ms/frame)")
