@@ -22,6 +22,22 @@ def video_file(tmp_path_factory):
     return path
 
 
+@pytest.fixture(scope="module")
+def mini_predictor():
+    """One compiled MINI predictor shared by the session/click/HTTP tests
+    (each instance carries its own jit wrappers, so sharing saves two full
+    XLA CPU compiles on this 1-vCPU box)."""
+    from tests.conftest import require_fixture
+    from tests.test_parity import MINI
+    from us_video_medsam2_tpu.core.import_torch import convert_reference_state_dict
+    from us_video_medsam2_tpu.inference.video_predictor import SAM2VideoPredictor
+    from us_video_medsam2_tpu.models.sam2 import SAM2Model
+
+    sd = dict(np.load(require_fixture("mini_state_dict.npz")))
+    params = convert_reference_state_dict(sd, MINI)
+    return SAM2VideoPredictor(SAM2Model(MINI), params, fill_hole_area=0)
+
+
 def test_load_video_frames(video_file):
     from us_video_medsam2_tpu.utils.video_io import load_video_frames
 
@@ -47,19 +63,10 @@ def test_async_frame_loader(tmp_path):
     assert loader.video_height == 32 and loader.video_width == 40
 
 
-def test_annotation_session(video_file):
-    from tests.conftest import require_fixture
-    from tests.test_parity import MINI
+def test_annotation_session(video_file, mini_predictor):
     from us_video_medsam2_tpu.apps.app import AnnotationSession
-    from us_video_medsam2_tpu.core.import_torch import convert_reference_state_dict
-    from us_video_medsam2_tpu.inference.video_predictor import SAM2VideoPredictor
-    from us_video_medsam2_tpu.models.sam2 import SAM2Model
 
-    sd = dict(np.load(require_fixture("mini_state_dict.npz")))
-    params = convert_reference_state_dict(sd, MINI)
-    predictor = SAM2VideoPredictor(SAM2Model(MINI), params, fill_hole_area=0)
-
-    sess = AnnotationSession(predictor, video_file)
+    sess = AnnotationSession(mini_predictor, video_file)
     obj_ids, masks = sess.click(0, 1, 32.0, 42.0, positive=True)
     assert masks.shape[0] == 8  # max_objects slots
     tracked = sess.track()
@@ -71,6 +78,86 @@ def test_annotation_session(video_file):
 
     with zipfile.ZipFile(zf) as z:
         assert len(z.namelist()) == 5
+
+
+def test_http_api_end_to_end(video_file, mini_predictor):
+    """Drive upload -> click -> track -> export through REAL HTTP round trips
+    against the stdlib serving surface (apps/http_api.py) — the headless
+    equivalent of the reference's Gradio flow (reference app.py:111-449:
+    load_video -> on_click -> on_track -> download). Gradio itself is not
+    installed in this environment; the HTTP API serves the same session layer
+    the Gradio callbacks wire."""
+    import io
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+    import zipfile
+
+    from us_video_medsam2_tpu.apps.http_api import create_server
+
+    server = create_server(mini_predictor, port=0)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        def call(method, path, body=None, headers=None):
+            req = urllib.request.Request(
+                base + path, data=body, method=method, headers=headers or {}
+            )
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                return resp.headers.get_content_type(), resp.read()
+
+        ctype, body = call("GET", "/healthz")
+        assert json.loads(body)["ok"] is True
+
+        # upload: the raw mp4 bytes travel over the wire like a browser upload
+        with open(video_file, "rb") as f:
+            video_bytes = f.read()
+        ctype, body = call(
+            "POST", "/sessions", video_bytes, {"X-Filename": "test.mp4"}
+        )
+        meta = json.loads(body)
+        sid = meta["session_id"]
+        assert meta["num_frames"] == 5 and (meta["height"], meta["width"]) == (80, 96)
+
+        # click the white square on frame 0
+        ctype, body = call(
+            "POST",
+            f"/sessions/{sid}/click",
+            json.dumps(
+                {"frame_idx": 0, "obj_id": 1, "x": 32.0, "y": 42.0, "positive": True}
+            ).encode(),
+        )
+        click_resp = json.loads(body)
+        assert click_resp["obj_ids"] == [1]
+        assert len(click_resp["areas"]) == 1
+
+        ctype, body = call("POST", f"/sessions/{sid}/track", b"{}")
+        frames = json.loads(body)["frames"]
+        assert sorted(int(k) for k in frames) == [0, 1, 2, 3, 4]
+
+        ctype, body = call("GET", f"/sessions/{sid}/export/masks.zip")
+        assert ctype == "application/zip"
+        with zipfile.ZipFile(io.BytesIO(body)) as z:
+            assert len(z.namelist()) == 5
+            first = z.read(sorted(z.namelist())[0])
+            assert first[:8] == b"\x89PNG\r\n\x1a\n"
+
+        ctype, body = call("GET", f"/sessions/{sid}/export/tracked.mp4")
+        assert ctype == "video/mp4" and len(body) > 0
+
+        # close, then the session must be gone (reaper/unload semantics)
+        call("DELETE", f"/sessions/{sid}")
+        try:
+            call("POST", f"/sessions/{sid}/track", b"{}")
+            raise AssertionError("expected 404 on a closed session")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
+        server.server_close()
 
 
 def test_coco_rle_decode_uncompressed():
@@ -161,19 +248,11 @@ def test_predictor_registry_caches(monkeypatch):
     assert calls[-1] == ("efficienttam_ti_512", "x.pt")
 
 
-def test_click_path_single_dispatch():
+def test_click_path_single_dispatch(mini_predictor):
     """The interactive click costs ONE device dispatch: the video-res upsample
     is fused into the prompt jit, so the separate _to_video_res program must
     not run (reference pays a fresh dispatch per click, app.py:143-178)."""
-    from tests.conftest import require_fixture
-    from tests.test_parity import MINI
-    from us_video_medsam2_tpu.core.import_torch import convert_reference_state_dict
-    from us_video_medsam2_tpu.inference.video_predictor import SAM2VideoPredictor
-    from us_video_medsam2_tpu.models.sam2 import SAM2Model
-
-    sd = dict(np.load(require_fixture("mini_state_dict.npz")))
-    params = convert_reference_state_dict(sd, MINI)
-    predictor = SAM2VideoPredictor(SAM2Model(MINI), params, fill_hole_area=0)
+    predictor = mini_predictor
     rng = np.random.default_rng(0)
     images = rng.standard_normal((2, 256, 256, 3)).astype(np.float32)
     state = predictor.init_state(images, 120, 100, max_objects=2)
@@ -181,10 +260,14 @@ def test_click_path_single_dispatch():
     def boom(*a, **k):  # noqa: ANN001
         raise AssertionError("_to_video_res dispatched on the click path")
 
+    orig = predictor._to_video_res
     predictor._to_video_res = boom
-    fi, obj_ids, masks = predictor.add_new_points_or_box(
-        state, 0, 1, points=np.array([[20.0, 20.0]]), labels=np.array([1])
-    )
+    try:
+        fi, obj_ids, masks = predictor.add_new_points_or_box(
+            state, 0, 1, points=np.array([[20.0, 20.0]]), labels=np.array([1])
+        )
+    finally:
+        predictor._to_video_res = orig  # the fixture is module-shared
     assert fi == 0 and obj_ids == [1]
     assert masks.shape[0] == state.max_objects and masks.shape[1] == 1
     assert np.isfinite(masks).all()
