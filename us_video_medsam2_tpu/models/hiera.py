@@ -267,15 +267,11 @@ class MultiScaleAttention(nn.Module):
             hd_pad = head_dim
         scale = head_dim**-0.5
 
+        pad_h = pad_w = 0
         if window_size > 0:
             ws = window_size
             pad_h = (ws - h % ws) % ws
             pad_w = (ws - w % ws) % ws
-            if pad_h or pad_w:
-                # pad BEFORE qkv so pad tokens carry the projection bias,
-                # exactly like the reference's partition-then-project order
-                # (hieradet.py pads x with zeros; Dense(0) = bias)
-                x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
             hs, wsp = h + pad_h, w + pad_w
             if (
                 hd_pad != head_dim
@@ -312,6 +308,8 @@ class MultiScaleAttention(nn.Module):
             # than that saves (116.1 vs 114.5 ms/64f device — XLA's single
             # large fused dot beats Mosaic's per-program dense + f32 store).
             # Kept behind US_MEDSAM2_FUSE_QKV_WINDOW_ATTN for bigger configs.
+            if pad_h or pad_w:  # the in-kernel dense consumes the padded map
+                x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
             pw, pb = qkv_mod.padded()
             o = fused_qkv_window_attention(
                 x.astype(self.dtype), pw, pb, window_size, nh_heads, hd_pad,
@@ -330,6 +328,21 @@ class MultiScaleAttention(nn.Module):
             )(o)
 
         qkv = qkv_mod(x)
+        if pad_h or pad_w:
+            # Project the UNPADDED map, then fill the window-grid pad region
+            # with the projection bias: the reference zero-pads the
+            # pre-projection tokens (window_partition before attn,
+            # hieradet.py:143-148), so its pad tokens carry Dense(0) = bias
+            # exactly — bias-filling the qkv output is the identical tensor at
+            # 1/(hs*wsp / (h*w)) of the dense FLOPs (1.72x at ws=14 on 32²
+            # maps: qkv was the trunk's biggest non-kernel bucket, 8.7 ms/64f
+            # on EfficientTAM-S). Rounding matches the dense epilogue:
+            # (0 + bias_f32).astype(dtype) == bias_f32.astype(dtype).
+            _, pb = qkv_mod.padded()
+            full = jnp.broadcast_to(
+                pb.astype(self.dtype), (b, hs, wsp, qkv.shape[-1])
+            )
+            qkv = jax.lax.dynamic_update_slice(full, qkv, (0, 0, 0, 0))
 
         if window_size == 0:
             # global attention: [B, L, H, D] layout, head axis as dot batch dim
