@@ -452,7 +452,7 @@ class MultiScaleBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         shortcut = x
-        x = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm1")(x)
+        x = LayerNorm(eps=1e-6, dtype=self.dtype, pallas_ok=True, name="norm1")(x)
 
         if self.dim != self.dim_out:
             shortcut = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x)

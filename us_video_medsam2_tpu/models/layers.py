@@ -51,16 +51,34 @@ class MLP(nn.Module):
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm over the last axis with explicit eps, f32 statistics."""
+    """LayerNorm over the last axis with explicit eps, f32 statistics.
+
+    pallas_ok opts a site into the one-pass Pallas lowering
+    (kernels/fused_ln.py — one HBM read instead of XLA's two-to-three) for
+    large bf16 token maps. Opt-in per site, NOT automatic: at sites whose
+    input/output fuse with neighboring elementwise work (e.g. the
+    memory-attention residual chain), displacing XLA's fusion is a net loss
+    (round-3 fused LN+MLP A/B)."""
 
     eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
+    pallas_ok: bool = False
 
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,))
         bias = self.param("bias", nn.initializers.zeros, (dim,))
+        if self.pallas_ok and not self.is_initializing():
+            from us_video_medsam2_tpu.kernels.fused_ln import (
+                layer_norm_pallas,
+                layer_norm_pallas_available,
+            )
+
+            if layer_norm_pallas_available(x.shape, x.dtype):
+                return layer_norm_pallas(x, scale, bias, self.eps).astype(
+                    self.dtype
+                )
         xf = x.astype(jnp.float32)
         # fast-variance form: mean and E[x²] come from ONE pass over x (XLA
         # fuses the two independent reduces into a single loop fusion; the

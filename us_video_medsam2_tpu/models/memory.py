@@ -242,6 +242,9 @@ class CXBlock(nn.Module):
             dtype=self.dtype,
             name="dwconv",
         )(x)
+        # NOTE: pallas_ok here was A/B-tested and REGRESSES badly (109 -> 136
+        # ms/64f device, round-4): the Pallas call displaces XLA's fusion of
+        # the shifted-MAC dwconv + LN + pwconv1 chain. Keep the XLA path.
         x = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
         x = gelu_exact(x)

@@ -77,7 +77,7 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         shortcut = x
-        x = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm1")(x)
+        x = LayerNorm(eps=1e-6, dtype=self.dtype, pallas_ok=True, name="norm1")(x)
         # same attention engine as the Hiera trunk (q_pool off): window
         # partition/pad handled inside, fused Pallas kernel when available
         x = MultiScaleAttention(
