@@ -23,6 +23,16 @@ import os
 import time
 
 import jax
+
+# Persistent compilation cache: the driver runs this file cold every round;
+# warm entries (written by in-round runs on the same chip) cut the ~20-40 s
+# propagation compile to near-zero. Same recipe as __graft_entry__'s dryrun.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
 import jax.numpy as jnp
 import numpy as np
 
