@@ -115,3 +115,151 @@ def test_max_frame_num_to_track_bounds_tracking_and_bank(predictor):
         valid = np.asarray(state.bank.valid[0])
         assert not valid[4], f"frame 4 is outside the window (chunk={chunk})"
         assert valid[1] and valid[2] and valid[3]
+
+
+def _prompt_two_objects(predictor, fx, images):
+    state = predictor.init_state(images, 200, 180, max_objects=2)
+    predictor.add_new_mask(state, 1, 1, jnp.asarray(fx["mask_prompt"]))
+    predictor.add_new_points_or_box(
+        state, 1, 2, points=np.array([[30.0, 150.0]]), labels=np.array([1])
+    )
+    return state
+
+
+def test_remove_object_before_propagation_matches_fresh_session(predictor):
+    """Removing an object pre-propagation must leave the session bitwise
+    indistinguishable from one where the object was never prompted
+    (reference remove_object, sam2_video_predictor.py:1042-1153)."""
+    fx = np.load(require_fixture("predictor_video.npz"))
+    images = nchw2nhwc(fx["images"])
+
+    state = _prompt_two_objects(predictor, fx, images)
+    obj_ids, updated = predictor.remove_object(state, 2)
+    assert obj_ids == [1]
+    assert [f for f, _ in updated] == [1]
+    assert updated[0][1].shape == (2, 1, 200, 180)
+    got = {t: m for t, _, m in predictor.propagate_in_video(state)}
+
+    ref_state = predictor.init_state(images, 200, 180, max_objects=2)
+    predictor.add_new_mask(ref_state, 1, 1, jnp.asarray(fx["mask_prompt"]))
+    want = {t: m for t, _, m in predictor.propagate_in_video(ref_state)}
+
+    assert set(got) == set(want)
+    for t in want:
+        np.testing.assert_array_equal(got[t], want[t])
+
+
+def test_remove_object_after_propagation(predictor):
+    """Removing a tracked object drops its bank rows/prompts; the surviving
+    object's re-propagation matches a fresh single-object session row-for-row."""
+    fx = np.load(require_fixture("predictor_video.npz"))
+    images = nchw2nhwc(fx["images"])
+
+    state = _prompt_two_objects(predictor, fx, images)
+    for _ in predictor.propagate_in_video(state):
+        pass
+    obj_ids, updated = predictor.remove_object(state, 1)
+    assert obj_ids == [2]
+    assert [f for f, _ in updated] == [1]
+    # object 2 now occupies row 0; its memories moved with it
+    assert bool(np.asarray(state.bank.valid[0]).any())
+    got = {t: m for t, _, m in predictor.propagate_in_video(state)}
+
+    ref_state = predictor.init_state(images, 200, 180, max_objects=2)
+    predictor.add_new_points_or_box(
+        ref_state, 1, 2, points=np.array([[30.0, 150.0]]), labels=np.array([1])
+    )
+    want = {t: m for t, _, m in predictor.propagate_in_video(ref_state)}
+
+    assert set(got) == set(want)
+    for t in want:
+        # compare the surviving object's row; the padding row differs (blanked
+        # here vs placeholder-encoded in the fresh session) by design
+        np.testing.assert_array_equal(got[t][0], want[t][0])
+
+
+def test_remove_object_edge_cases(predictor):
+    fx = np.load(require_fixture("predictor_video.npz"))
+    images = nchw2nhwc(fx["images"])
+    state = _prompt_two_objects(predictor, fx, images)
+
+    # unknown id: no-op unless strict (reference :1049-1056)
+    obj_ids, updated = predictor.remove_object(state, 99)
+    assert obj_ids == [1, 2] and updated == []
+    with pytest.raises(RuntimeError):
+        predictor.remove_object(state, 99, strict=True)
+
+    # removing the last object resets the whole state (reference :1088-1091)
+    predictor.remove_object(state, 2)
+    obj_ids, _ = predictor.remove_object(state, 1)
+    assert obj_ids == []
+    assert not np.asarray(state.bank.valid).any()
+    assert state.pending == {} and state.prompt_frames == {}
+
+
+def test_clear_all_prompts_in_frame(predictor):
+    """Clearing a frame's last prompt downgrades it to non-cond; clearing all
+    prompts resets tracking (reference clear_all_prompts_in_frame:777-845)."""
+    fx = np.load(require_fixture("predictor_video.npz"))
+    images = nchw2nhwc(fx["images"])
+
+    state = predictor.init_state(images, 200, 180, max_objects=2)
+    predictor.add_new_mask(state, 1, 1, jnp.asarray(fx["mask_prompt"]))
+    predictor.add_new_points_or_box(
+        state, 3, 1, points=np.array([[30.0, 150.0]]), labels=np.array([1])
+    )
+    for _ in predictor.propagate_in_video(state):
+        pass
+    assert bool(np.asarray(state.bank.is_cond[0, 3]))
+
+    out = predictor.clear_all_prompts_in_frame(state, 3, 1)
+    assert out[0] == 3 and out[1] == [1]
+    # downgraded: memory still valid, no longer conditioning
+    assert not bool(np.asarray(state.bank.is_cond[0, 3]))
+    assert bool(np.asarray(state.bank.valid[0, 3]))
+    assert 3 not in state.cond_low_res and 3 not in state.frames_tracked
+
+    predictor.clear_all_prompts_in_frame(state, 1, 1)
+    # last conditioning frame gone -> full tracking reset (reference :823-825)
+    assert not np.asarray(state.bank.valid).any()
+    assert state.cond_low_res == {} and state.frames_tracked == {}
+    assert state.obj_ids == [1]  # ids survive a tracking reset
+
+
+def test_clear_non_cond_mem_around_input(predictor):
+    """clear_non_cond_mem_around_input scrubs non-cond memories around prompted
+    frames at preflight AND when propagation passes a cond frame
+    (reference sam2_video_predictor.py:627-632, 708-714, 1155-1172)."""
+    fx = np.load(require_fixture("predictor_video.npz"))
+    images = nchw2nhwc(fx["images"])
+    pred = SAM2VideoPredictor(
+        predictor.model, predictor.params, fill_hole_area=0,
+        clear_non_cond_mem_around_input=True,
+    )
+    # MINI: num_maskmem=7, stride r=1 -> radius 7 covers the whole 5-frame video
+    assert pred._clear_radius() == 7
+
+    state = pred.init_state(images, 200, 180, max_objects=1)
+    pred.add_new_mask(state, 1, 1, jnp.asarray(fx["mask_prompt"]))
+    for _ in pred.propagate_in_video(state):
+        pass
+    valid = np.asarray(state.bank.valid[0])
+    assert valid[1] and valid[2] and valid[3] and valid[4]
+
+    # re-prompt frame 3: preflight must scrub every surrounding non-cond memory
+    pred.add_new_points_or_box(
+        state, 3, 1, points=np.array([[30.0, 150.0]]), labels=np.array([1])
+    )
+    pred.propagate_in_video_preflight(state)
+    valid = np.asarray(state.bank.valid[0])
+    is_cond = np.asarray(state.bank.is_cond[0])
+    assert valid[1] and is_cond[1] and valid[3] and is_cond[3]
+    assert not valid[0] and not valid[2] and not valid[4]
+
+    # propagate: frame 2 is re-tracked, then scrubbed again when the scan passes
+    # cond frame 3; frame 4 (tracked after 3) survives
+    for _ in pred.propagate_in_video(state):
+        pass
+    valid = np.asarray(state.bank.valid[0])
+    assert valid[1] and valid[3] and valid[4]
+    assert not valid[2], "in-scan clearing must scrub frame 2 at cond frame 3"

@@ -62,6 +62,10 @@ class VideoPredictorState:
     # per cond frame low-res logits for yielding without recompute
     cond_low_res: Dict[int, jnp.ndarray] = dataclasses.field(default_factory=dict)
     frames_tracked: Dict[int, Dict] = dataclasses.field(default_factory=dict)
+    # obj_idx -> set of frames that received point/mask input — the reference's
+    # point_inputs_per_obj/mask_inputs_per_obj record (predictor:79-80), needed
+    # by clear_all_prompts_in_frame / remove_object
+    prompt_frames: Dict[int, set] = dataclasses.field(default_factory=dict)
 
     def obj_idx(self, obj_id: int) -> int:
         if obj_id in self.obj_ids:
@@ -82,12 +86,20 @@ class SAM2VideoPredictor:
         non_overlap_masks: bool = False,
         bank_dtype=jnp.bfloat16,
         precompute_features_batch: int = 0,
+        clear_non_cond_mem_around_input: bool = False,
+        clear_non_cond_mem_for_multi_obj: bool = False,
     ):
         self.model = model
         self.params = params
         self.cfg: SAM2Config = model.cfg
         self.fill_hole_area = fill_hole_area
         self.non_overlap_masks = non_overlap_masks
+        # correction-click memory scrubbing (reference predictor:27-30): when on,
+        # prompting a frame invalidates surrounding non-conditioning memories so
+        # stale appearance info can't contradict the correction (single-object
+        # only unless clear_non_cond_mem_for_multi_obj)
+        self.clear_non_cond_mem_around_input = clear_non_cond_mem_around_input
+        self.clear_non_cond_mem_for_multi_obj = clear_non_cond_mem_for_multi_obj
         # reference predictor stores spatial memories in bf16 (predictor:944)
         self.bank_dtype = bank_dtype
         # 0/1 = encode per frame inside the scan (lowest memory); N>1 = encode
@@ -104,13 +116,20 @@ class SAM2VideoPredictor:
         self._finalize = jax.jit(self._finalize_impl)
         self._propagate = jax.jit(
             self._propagate_impl,
-            static_argnames=("num_frames", "reverse", "max_cond_slots"),
+            static_argnames=("num_frames", "reverse", "max_cond_slots", "clear_radius"),
         )
         self._propagate_chunk = jax.jit(
             self._propagate_chunk_impl,
-            static_argnames=("chunk_len", "num_frames", "reverse", "max_cond_slots"),
+            static_argnames=(
+                "chunk_len", "num_frames", "reverse", "max_cond_slots", "clear_radius",
+            ),
         )
         self._to_video_res = jax.jit(self._to_video_res_impl, static_argnames=("hw",))
+        self._clear_window = jax.jit(
+            self._clear_window_impl, static_argnames=("radius",)
+        )
+        self._downgrade_frame = jax.jit(self._downgrade_frame_impl)
+        self._permute_rows = jax.jit(self._permute_rows_impl)
 
     # ------------------------------------------------------------- state mgmt
     def init_state(
@@ -154,7 +173,22 @@ class SAM2VideoPredictor:
         state.pending = {}
         state.cond_low_res = {}
         state.frames_tracked = {}
+        state.prompt_frames = {}
         return state
+
+    def _reset_tracking_results(self, state: VideoPredictorState):
+        """Clear all inputs/outputs but keep object ids (reference
+        `_reset_tracking_results`, sam2_video_predictor.py:860-877)."""
+        hw = self.cfg.feat_size**2
+        state.bank = init_memory_bank(
+            state.max_objects, state.bank.num_slots, hw, self.cfg.mem_dim,
+            self.cfg.hidden_dim, dtype=self.bank_dtype, ptr_dtype=jnp.float32,
+        )
+        state.pending = {}
+        state.cond_low_res = {}
+        state.frames_tracked = {}
+        for frames in state.prompt_frames.values():
+            frames.clear()
 
     # ------------------------------------------------------------ jit bodies
     def _encode_frame_impl(self, params, image):
@@ -241,7 +275,7 @@ class SAM2VideoPredictor:
 
     def _propagate_chunk_impl(
         self, params, images, bank, start_idx, end_idx, chunk_start, *, chunk_len,
-        num_frames, reverse, max_cond_slots=None,
+        num_frames, reverse, max_cond_slots=None, clear_radius=None,
     ):
         """Scan a window of `chunk_len` processing positions beginning at the
         (traced) position chunk_start — streaming propagation: one compiled
@@ -293,6 +327,21 @@ class SAM2VideoPredictor:
             is_cond = jnp.any(bank.is_cond[:, t] & bank.valid[:, t])
             do_run = in_window & in_range & ~is_cond
             mem_row, ptr_row, low = jax.lax.cond(do_run, run, skip, None)
+            valid = bank.valid
+            if clear_radius is not None:
+                # passing a cond frame scrubs surrounding non-cond memories
+                # (reference propagate loop, sam2_video_predictor.py:708-714)
+                s = valid.shape[1]
+                in_order = jnp.where(
+                    reverse,
+                    (t <= start_idx) & (t >= end_idx),
+                    (t >= start_idx) & (t <= end_idx),
+                )
+                tt = jnp.arange(s, dtype=jnp.int32)
+                win = (tt >= t - clear_radius) & (tt <= t + clear_radius)
+                valid = valid & ~(
+                    (is_cond & in_order & in_window) & win[None, :] & ~bank.is_cond
+                )
             bank = MemoryBank(
                 maskmem=bank.maskmem.at[:, t].set(
                     jnp.where(do_run, mem_row, bank.maskmem[:, t])
@@ -300,7 +349,7 @@ class SAM2VideoPredictor:
                 obj_ptr=bank.obj_ptr.at[:, t].set(
                     jnp.where(do_run, ptr_row, bank.obj_ptr[:, t])
                 ),
-                valid=bank.valid.at[:, t].set(bank.valid[:, t] | do_run),
+                valid=valid.at[:, t].set(valid[:, t] | do_run),
                 is_cond=bank.is_cond,
             )
             return bank, (low, do_run, t)
@@ -314,7 +363,7 @@ class SAM2VideoPredictor:
 
     def _propagate_impl(
         self, params, images, bank, start_idx, end_idx, *, num_frames, reverse,
-        max_cond_slots=None,
+        max_cond_slots=None, clear_radius=None,
     ):
         cfg = self.cfg
         o = bank.maskmem.shape[0]
@@ -385,6 +434,21 @@ class SAM2VideoPredictor:
             is_cond = jnp.any(bank.is_cond[:, t] & bank.valid[:, t])
             do_run = in_range & ~is_cond
             mem_row, ptr_row, low = jax.lax.cond(do_run, run, skip, None)
+            valid = bank.valid
+            if clear_radius is not None:
+                # passing a cond frame scrubs surrounding non-cond memories
+                # (reference propagate loop, sam2_video_predictor.py:708-714)
+                s = valid.shape[1]
+                in_order = jnp.where(
+                    reverse,
+                    (t <= start_idx) & (t >= end_idx),
+                    (t >= start_idx) & (t <= end_idx),
+                )
+                tt = jnp.arange(s, dtype=jnp.int32)
+                win = (tt >= t - clear_radius) & (tt <= t + clear_radius)
+                valid = valid & ~(
+                    (is_cond & in_order) & win[None, :] & ~bank.is_cond
+                )
             bank = MemoryBank(
                 maskmem=bank.maskmem.at[:, t].set(
                     jnp.where(do_run, mem_row, bank.maskmem[:, t])
@@ -392,7 +456,7 @@ class SAM2VideoPredictor:
                 obj_ptr=bank.obj_ptr.at[:, t].set(
                     jnp.where(do_run, ptr_row, bank.obj_ptr[:, t])
                 ),
-                valid=bank.valid.at[:, t].set(bank.valid[:, t] | do_run),
+                valid=valid.at[:, t].set(valid[:, t] | do_run),
                 is_cond=bank.is_cond,
             )
             return bank, (low, do_run)
@@ -413,6 +477,39 @@ class SAM2VideoPredictor:
         if self.non_overlap_masks:
             x = apply_non_overlapping_constraints(x[:, None])[:, 0]
         return x
+
+    def _clear_window_impl(self, bank, frame_idx, *, radius):
+        """Invalidate non-conditioning memories within ±radius of frame_idx.
+
+        The reference pops the dict entries (`_clear_non_cond_mem_around_input`,
+        sam2_video_predictor.py:1155-1172); here validity is a mask, so clearing
+        is a bitwise update — gathers never attend invalid slots."""
+        s = bank.num_slots
+        tt = jnp.arange(s, dtype=jnp.int32)
+        win = (tt >= frame_idx - radius) & (tt <= frame_idx + radius)
+        return bank.replace(valid=bank.valid & ~(win[None, :] & ~bank.is_cond))
+
+    def _downgrade_frame_impl(self, bank, frame_idx):
+        """Cond frame -> non-cond: the reference moves the frame's consolidated
+        output from cond_frame_outputs to non_cond_frame_outputs when its last
+        prompt is cleared (clear_all_prompts_in_frame:804-821). Content stays."""
+        return bank.replace(is_cond=bank.is_cond.at[:, frame_idx].set(False))
+
+    def _permute_rows_impl(self, bank, perm, keep):
+        """Gather bank object rows by perm and blank rows where keep is False —
+        the TPU recast of the reference's per-object tensor re-slicing in
+        remove_object Step 3 (sam2_video_predictor.py:1110-1131)."""
+        def g(x):
+            out = jnp.take(x, perm, axis=0)
+            m = keep.reshape((-1,) + (1,) * (x.ndim - 1))
+            return jnp.where(m, out, jnp.zeros_like(out))
+
+        return MemoryBank(
+            maskmem=g(bank.maskmem),
+            obj_ptr=g(bank.obj_ptr),
+            valid=g(bank.valid),
+            is_cond=g(bank.is_cond),
+        )
 
     # -------------------------------------------------------------- prompting
     def add_new_points_or_box(
@@ -514,6 +611,7 @@ class SAM2VideoPredictor:
         return self._prompt_return(state, frame_idx)
 
     def _store_prompt_output(self, state, frame_idx, obj_idx, out):
+        state.prompt_frames.setdefault(obj_idx, set()).add(frame_idx)
         state.pending.setdefault(frame_idx, {})[obj_idx] = {
             "high_res_masks": out["high_res_masks"],
             "low_res_masks": out["low_res_masks"],
@@ -539,6 +637,143 @@ class SAM2VideoPredictor:
                 apply_non_overlapping_constraints(jnp.asarray(video)[:, None])
             )[:, 0]
         return frame_idx, list(state.obj_ids), video[:, None]
+
+    # --------------------------------------------------------------- editing
+    def _clear_enabled(self, state: VideoPredictorState) -> bool:
+        """Reference gate: single-object only unless the multi-obj flag is set
+        (sam2_video_predictor.py:627-629, 680-682)."""
+        return self.clear_non_cond_mem_around_input and (
+            self.clear_non_cond_mem_for_multi_obj or len(state.obj_ids) <= 1
+        )
+
+    def _clear_radius(self) -> int:
+        r = max(1, self.cfg.memory_temporal_stride_for_eval)
+        return r * self.cfg.num_maskmem
+
+    def _clear_non_cond_mem_around_input(self, state: VideoPredictorState, frame_idx: int):
+        """Scrub non-conditioning memories around a (re-)prompted frame
+        (reference sam2_video_predictor.py:1155-1172)."""
+        state.bank = self._clear_window(
+            state.bank, jnp.asarray(frame_idx), radius=self._clear_radius()
+        )
+
+    def _assemble_frame_masks(self, state: VideoPredictorState, frame_idx: int) -> np.ndarray:
+        """Video-res mask logits [O, 1, H, W] for one frame from the cached
+        consolidated/pending outputs (no re-inference — reference
+        `_consolidate_temp_output_across_obj(..., run_mem_encoder=False)`)."""
+        o, vh, vw = state.max_objects, state.video_height, state.video_width
+        low = state.cond_low_res.get(frame_idx)
+        if low is not None:
+            video = np.asarray(self._to_video_res(jnp.asarray(low), hw=(vh, vw)))
+        else:
+            video = np.full((o, vh, vw), NO_OBJ_SCORE, np.float32)
+        for oi, rec in state.pending.get(frame_idx, {}).items():
+            video[oi] = rec["video_res"]
+        if self.non_overlap_masks:
+            video = np.asarray(
+                apply_non_overlapping_constraints(jnp.asarray(video)[:, None])
+            )[:, 0]
+        return video[:, None]
+
+    def clear_all_prompts_in_frame(
+        self, state: VideoPredictorState, frame_idx: int, obj_id: int,
+        need_output: bool = True,
+    ):
+        """Remove all point/mask input on `frame_idx` for `obj_id`
+        (reference sam2_video_predictor.py:777-845)."""
+        assert obj_id in state.obj_ids, f"unknown object id {obj_id}"
+        obj_idx = state.obj_ids.index(obj_id)
+
+        # drop the pending ("temp") prompt output and the input record
+        per = state.pending.get(frame_idx, {})
+        per.pop(obj_idx, None)
+        if not per:
+            state.pending.pop(frame_idx, None)
+        state.prompt_frames.get(obj_idx, set()).discard(frame_idx)
+
+        # does any object still have input on this frame? (reference :791-800)
+        frame_has_input = any(
+            frame_idx in frames for frames in state.prompt_frames.values()
+        )
+        if not frame_has_input:
+            # downgrade the consolidated cond output to non-cond (:804-821)
+            if frame_idx in state.cond_low_res:
+                state.cond_low_res.pop(frame_idx)
+                state.bank = self._downgrade_frame(state.bank, jnp.asarray(frame_idx))
+                state.frames_tracked.pop(frame_idx, None)
+            # no conditioning outputs left anywhere -> full tracking reset (:823-825)
+            if not state.cond_low_res:
+                self._reset_tracking_results(state)
+
+        if not need_output:
+            return None
+        return frame_idx, list(state.obj_ids), self._assemble_frame_masks(state, frame_idx)
+
+    def remove_object(
+        self, state: VideoPredictorState, obj_id: int,
+        strict: bool = False, need_output: bool = True,
+    ):
+        """Remove an object id from the tracking state
+        (reference sam2_video_predictor.py:1042-1153). Returns
+        (obj_ids, updated_frames) where updated_frames lists
+        (frame_idx, video_res_masks) for frames this object had prompts on."""
+        updated_frames: List[Tuple[int, np.ndarray]] = []
+        if obj_id not in state.obj_ids:
+            if not strict:
+                return list(state.obj_ids), updated_frames
+            raise RuntimeError(
+                f"Cannot remove object id {obj_id} as it doesn't exist. "
+                f"All existing object ids: {state.obj_ids}."
+            )
+        # last remaining object: plain state reset (reference :1088-1091)
+        if len(state.obj_ids) == 1:
+            self.reset_state(state)
+            return list(state.obj_ids), updated_frames
+
+        rm = state.obj_ids.index(obj_id)
+        # Step 0: clear this object's inputs frame by frame — may downgrade
+        # conditioning frames whose only prompt was this object (:1097-1107)
+        obj_input_frames = sorted(state.prompt_frames.get(rm, set()))
+        for f in obj_input_frames:
+            self.clear_all_prompts_in_frame(state, f, obj_id, need_output=False)
+
+        # Step 1: remap object ids / indices (:1109-1121)
+        old_n = len(state.obj_ids)
+        remain = [i for i in range(old_n) if i != rm]
+        state.obj_ids = [state.obj_ids[i] for i in remain]
+        old2new = {o: n for n, o in enumerate(remain)}
+
+        # Step 2: remap per-object host dicts (:1123-1137)
+        state.pending = {
+            f: {old2new[oi]: rec for oi, rec in per.items() if oi in old2new}
+            for f, per in state.pending.items()
+        }
+        state.pending = {f: per for f, per in state.pending.items() if per}
+        state.prompt_frames = {
+            old2new[oi]: frames
+            for oi, frames in state.prompt_frames.items()
+            if oi in old2new
+        }
+
+        # Step 3: shift packed row storage — bank rows + cached cond logits
+        o = state.max_objects
+        perm = np.zeros(o, np.int32)
+        keep = np.zeros(o, bool)
+        perm[: len(remain)] = remain
+        keep[: len(remain)] = True
+        state.bank = self._permute_rows(
+            state.bank, jnp.asarray(perm), jnp.asarray(keep)
+        )
+        for f, low in list(state.cond_low_res.items()):
+            nl = np.asarray(low)[perm].copy()
+            nl[~keep] = NO_OBJ_SCORE
+            state.cond_low_res[f] = nl
+
+        # Step 4: updated masks on the frames that lost this object's prompts
+        if need_output:
+            for f in obj_input_frames:
+                updated_frames.append((f, self._assemble_frame_masks(state, f)))
+        return list(state.obj_ids), updated_frames
 
     # ------------------------------------------------------------ propagation
     def propagate_in_video_preflight(self, state: VideoPredictorState):
@@ -571,6 +806,10 @@ class SAM2VideoPredictor:
             for oi, rec in per_obj.items():
                 low[oi] = np.asarray(rec["low_res_masks"][0, 0])
             state.cond_low_res[frame_idx] = low
+            if self._clear_enabled(state):
+                # scrub stale non-cond memories around the (re-)prompted frame
+                # (reference preflight, sam2_video_predictor.py:627-632)
+                self._clear_non_cond_mem_around_input(state, frame_idx)
         state.pending = {}
 
     def propagate_in_video(
@@ -606,6 +845,7 @@ class SAM2VideoPredictor:
         # ever be valid, so shrink the static slot count (fewer memory-attention
         # keys; the selection math is unchanged for the slots that remain)
         mcs = max(1, min(self.cfg.max_cond_frame_slots, len(cond_frames)))
+        clear_radius = self._clear_radius() if self._clear_enabled(state) else None
 
         def emit(t, low):
             video = self._to_video_res(jnp.asarray(low), hw=hw)
@@ -621,6 +861,7 @@ class SAM2VideoPredictor:
                 num_frames=nf,
                 reverse=reverse,
                 max_cond_slots=mcs,
+                clear_radius=clear_radius,
             )
             state.bank = bank
             lows_np = np.asarray(lows)  # scan order
@@ -649,6 +890,7 @@ class SAM2VideoPredictor:
                 num_frames=nf,
                 reverse=reverse,
                 max_cond_slots=mcs,
+                clear_radius=clear_radius,
             )
             lows_np, ran_np, ts_np = np.asarray(lows), np.asarray(ran), np.asarray(ts)
             covered = {int(ts_np[i]): i for i in range(chunk_size)}
