@@ -271,3 +271,76 @@ def test_click_path_single_dispatch(mini_predictor):
     assert fi == 0 and obj_ids == [1]
     assert masks.shape[0] == state.max_objects and masks.shape[1] == 1
     assert np.isfinite(masks).all()
+
+
+def test_coco_rle_vectorized_matches_scalar_and_is_fast():
+    """The vectorized decoder must agree bit-exactly with the literal
+    pycocotools-port loop on SA-V-scale (1080p) masks and beat it by a wide
+    margin (VOS JSON training loads thousands per epoch). Measured on this
+    1-vCPU box: ~30 ms vs ~0.9 s (~24-30x) on the worst case, a 1M-run noise
+    mask; the assert is set below the measurement to survive box jitter."""
+    import time
+
+    from us_video_medsam2_tpu.training.data import (
+        _decode_coco_rle_scalar,
+        decode_coco_rle,
+    )
+
+    def encode_counts(counts):
+        # pycocotools rleToString
+        s = bytearray()
+        for i, x in enumerate(counts):
+            if i > 2:
+                x -= counts[i - 2]
+            more = True
+            while more:
+                c = x & 0x1F
+                x >>= 5
+                more = (x != -1) if (c & 0x10) else (x != 0)
+                if more:
+                    c |= 0x20
+                s.append(c + 48)
+        return bytes(s)
+
+    def encode(m):
+        flat = m.T.ravel()
+        change = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+        idx = np.concatenate([[0], change, [flat.size]])
+        counts = np.diff(idx).tolist()
+        if flat[0]:
+            counts = [0] + counts
+        return {"size": list(m.shape), "counts": encode_counts(counts).decode()}
+
+    rng = np.random.default_rng(7)
+    # blobby 1080p mask (realistic run lengths), plus adversarial tiny/noisy ones
+    yy, xx = np.mgrid[:1080, :1920]
+    blob = np.zeros((1080, 1920), bool)
+    for _ in range(12):
+        cy, cx = rng.integers(0, 1080), rng.integers(0, 1920)
+        r = rng.integers(40, 300)
+        blob |= (yy - cy) ** 2 + (xx - cx) ** 2 < r**2
+    cases = [
+        blob,
+        rng.random((1080, 1920)) > 0.999,  # sparse speckle -> long tokens
+        rng.random((5, 3)) > 0.5,
+        np.zeros((16, 16), bool),
+        np.ones((16, 16), bool),
+    ]
+    for m in cases:
+        rle = encode(m)
+        np.testing.assert_array_equal(decode_coco_rle(rle), m)
+        np.testing.assert_array_equal(_decode_coco_rle_scalar(rle), m)
+
+    # timing case: ~1M runs (the scalar loop's cost is per run; blobby masks
+    # with few runs were already cheap either way)
+    noisy = rng.random((1080, 1920)) > 0.5
+    rle = encode(noisy)
+    np.testing.assert_array_equal(decode_coco_rle(rle), noisy)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        decode_coco_rle(rle)
+    fast = (time.perf_counter() - t0) / 5
+    t0 = time.perf_counter()
+    _decode_coco_rle_scalar(rle)
+    slow = time.perf_counter() - t0
+    assert slow / fast > 15, f"vectorized decode only {slow / fast:.1f}x faster"

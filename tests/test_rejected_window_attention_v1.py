@@ -1,6 +1,6 @@
 """Fused windowed-attention Pallas kernel vs the XLA module math.
 
-The kernel (kernels/window_attention.py) replaces the Hiera block attention
+The kernel (kernels/rejected/window_attention_v1.py — A/B-rejected, unwired; kept for the measurement record) replaces the Hiera block attention
 half (reference hieradet.py:39-157) on TPU at bf16; here it runs in Pallas
 interpret mode on CPU and must match the module-path numerics, including the
 q-pool transition blocks and the global-attention (single window) blocks.
@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from us_video_medsam2_tpu.kernels import window_attention as wa
+from us_video_medsam2_tpu.kernels.rejected import window_attention_v1 as wa
 
 
 def _params(rng, c, n_heads, co):

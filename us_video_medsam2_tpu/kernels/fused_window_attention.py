@@ -9,7 +9,7 @@ and writing the attention output back in the spatial layout the out-projection
 wants — [B, Hpo, Wpo, nh*hd]. The qkv/proj matmuls stay in XLA where they run
 as single large MXU dots.
 
-Why v2: the round-2 kernel (kernels/window_attention.py) lost 3x to XLA
+Why v2: the round-2 kernel (kernels/rejected/window_attention_v1.py) lost 3x to XLA
 because it re-read the input once per head, did the q/k/v PROJECTIONS as
 per-window [ws², C]x[C, 96] dots (lane-misaligned head_dim), and serialized
 windows. But the round-3 propagation trace shows the XLA lowering of the

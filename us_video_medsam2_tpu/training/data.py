@@ -1224,12 +1224,10 @@ class TrainMixedVideoLoader:
 
 
 # ------------------------------------------------------- SA-V / JSON datasets
-def decode_coco_rle(rle: Dict) -> np.ndarray:
-    """Decode a COCO RLE (compressed string or uncompressed counts) to [H, W] bool.
-
-    Pure-numpy replacement for pycocotools.mask.decode (the LEB128-style
-    char encoding of the compressed format).
-    """
+def _decode_coco_rle_scalar(rle: Dict) -> np.ndarray:
+    """Literal per-char port of pycocotools rleFrString + rleDecode — kept as
+    the cross-check oracle for the vectorized decoder below (and for the
+    speedup benchmark in tests)."""
     h, w = rle["size"]
     counts = rle["counts"]
     if isinstance(counts, (bytes, str)):
@@ -1256,6 +1254,59 @@ def decode_coco_rle(rle: Dict) -> np.ndarray:
         idx += c
         val = not val
     return flat.reshape(w, h).T  # column-major
+
+
+def decode_coco_rle(rle: Dict) -> np.ndarray:
+    """Decode a COCO RLE (compressed string or uncompressed counts) to [H, W] bool.
+
+    Vectorized pure-numpy replacement for pycocotools.mask.decode (the
+    reference leans on pycocotools' C impl, vos_segment_loader.py:232-302).
+    The LEB128-style char stream is parsed in O(max_token_len) numpy passes
+    (tokens end at the first char without the 0x20 continuation bit), the
+    m>2 delta recursion is two per-parity cumsums, and the run fill is one
+    np.repeat — ~100x the scalar loop on 1080p masks.
+    """
+    h, w = rle["size"]
+    counts = rle["counts"]
+    if isinstance(counts, (bytes, str)):
+        s = counts.encode() if isinstance(counts, str) else counts
+        c6 = np.frombuffer(s, np.uint8) - 48  # 6-bit char payloads, uint8 ops
+        ends = np.flatnonzero((c6 & 0x20) == 0)  # last char of each token
+        starts = np.empty_like(ends)
+        starts[0], starts[1:] = 0, ends[:-1] + 1
+        klen = (ends - starts).astype(np.int8) + 1
+        kmax = int(klen.max()) if len(klen) else 0
+        # int32 carries tokens up to 6 chars (30 payload bits) — every mask
+        # under ~2^30 pixels; int64 only for the pathological tail
+        dt = np.int32 if kmax <= 6 else np.int64
+        payload = (c6 & 0x1F).astype(dt)
+        x = payload[starts]
+        for j in range(1, kmax):
+            sel = np.flatnonzero(klen > j)
+            x[sel] |= payload[starts[sel] + j] << dt(5 * j)
+        # sign-extend the 5k-bit two's-complement value: shift the sign bit to
+        # the dtype's top bit, arithmetic-shift back down (branch/scatter-free)
+        sh = dt(np.dtype(dt).itemsize * 8) - klen.astype(dt) * dt(5)
+        x = (x << sh) >> sh
+        # delta decoding: counts[m] += counts[m-2] for m > 2 (pycocotools
+        # rleFrString); per parity chain this is a prefix sum
+        if len(x) > 3:
+            x[3::2] = np.cumsum(x[1::2])[1:]
+        if len(x) > 4:
+            x[4::2] = np.cumsum(x[2::2])[1:]
+        counts = x
+    else:
+        counts = np.asarray(counts, np.int64)
+    pattern = np.empty(len(counts), bool)
+    pattern[0::2] = False
+    pattern[1::2] = True
+    flat = np.repeat(pattern, counts)
+    if flat.size == h * w:
+        return flat.reshape(w, h).T  # column-major
+    out = np.zeros(h * w, bool)
+    n = min(flat.size, h * w)
+    out[:n] = flat[:n]
+    return out.reshape(w, h).T
 
 
 class JSONSegmentLoader:
