@@ -19,6 +19,18 @@ assert jax.devices()[0].platform == "cpu"
 
 import pathlib
 
+# Persistent XLA compilation cache — the same recipe bench.py and
+# __graft_entry__.py use. Without it every pytest run recompiles every jitted
+# program from scratch on this 1-vCPU box (cold fast-suite ~9 min vs ~3 min
+# warm). Cache entries are host-flavor-keyed; `rm -rf .jax_cache` if a
+# cpu_aot_loader feature-mismatch warning appears (see CLAUDE.md).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import pytest
 
 FIXTURES = pathlib.Path(__file__).parent / "fixtures"
@@ -51,7 +63,7 @@ SLOW_MODULES = {
     "test_train_step_vit",
     "test_trainer_resilience",
     "test_determinism",
-    "test_window_attention",
+    "test_rejected_window_attention_v1",
 }
 
 

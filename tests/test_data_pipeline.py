@@ -689,3 +689,74 @@ class TestMedSAM2CurriculumDatasets:
             f.write(b"not an npz")
         item = ds[0]
         assert item is not None and item["video_id"] == "case_1"
+
+
+def test_mixed_epoch_order_follows_multinomial_law():
+    """The per-step dataset draw must follow the reference's multinomial
+    mixing law (sam2_datasets.py:141-178): each slot is an independent draw
+    from dataset_prob, the epoch stopping the first time an exhausted dataset
+    is drawn."""
+    from us_video_medsam2_tpu.training.data import mixed_epoch_order
+
+    from itertools import islice
+
+    prob = [0.8, 0.2]
+    counts = [10**9, 10**9]  # effectively inexhaustible
+    first_draws = []
+    draws = []
+    for ep in range(400):
+        rng = np.random.default_rng(ep)
+        order = list(islice(mixed_epoch_order(counts, prob, rng), 50))
+        first_draws.append(order[0])
+        draws.extend(order)
+    f0 = draws.count(0) / len(draws)
+    assert abs(f0 - 0.8) < 0.02, f0  # 20k draws: CI(0.8) ~ +-0.006
+    # independence of the first draw across epochs
+    f_first = first_draws.count(0) / len(first_draws)
+    assert abs(f_first - 0.8) < 0.07, f_first
+
+    # stop semantics: drawing an exhausted dataset ends the epoch, so a run
+    # can never contain more than `count` picks of a dataset and it stops
+    # exactly when one side runs dry and is drawn again
+    rng = np.random.default_rng(123)
+    order = list(mixed_epoch_order([5, 5], prob, rng, exhaustion="stop"))
+    assert order.count(0) <= 5 and order.count(1) <= 5
+    assert order.count(0) == 5 or order.count(1) == 5
+
+    # renormalize semantics (upstream __next__, sam2_datasets.py:180-201):
+    # every batch of every dataset is consumed exactly once
+    rng = np.random.default_rng(123)
+    order = list(mixed_epoch_order([5, 3], prob, rng, exhaustion="renormalize"))
+    assert order.count(0) == 5 and order.count(1) == 3 and len(order) == 8
+
+
+def test_mixed_loader_two_datasets_multinomial(npz_dir):
+    """End-to-end: two datasets with distinct batch sizes are interleaved by
+    per-step draws; 'stop' truncates at the first exhausted draw while
+    'renormalize' drains both."""
+
+    def mk(bs):
+        return VOSDataset(
+            NPZRawDataset(npz_dir),
+            RandomUniformSampler(num_frames=2, max_num_objects=1),
+            transforms=default_train_transforms(32),
+            max_num_objects=1,
+        )
+
+    def provenance(loader):
+        # batch size identifies the source dataset
+        return [b["images"].shape[1] for b in loader.get_loader(0)]
+
+    kw = dict(max_num_objects=1, seed=3, dataset_prob=[0.5, 0.5])
+    stop = TrainMixedVideoLoader([mk(1), mk(2)], [1, 2], **kw)
+    sizes = provenance(stop)
+    # 6 videos: 6 bs-1 batches + 3 bs-2 batches available
+    assert sizes.count(1) <= 6 and sizes.count(2) <= 3
+    assert sizes.count(1) == 6 or sizes.count(2) == 3, sizes
+
+    renorm = TrainMixedVideoLoader(
+        [mk(1), mk(2)], [1, 2], exhaustion="renormalize", **kw
+    )
+    sizes = provenance(renorm)
+    assert sizes.count(1) == 6 and sizes.count(2) == 3, sizes
+    assert sorted(set(sizes)) == [1, 2]

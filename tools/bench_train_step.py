@@ -22,6 +22,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache (bench.py's recipe): the GFTE train-step
+# compile costs minutes cold; warm entries from earlier in-round runs on the
+# same chip make re-timing cheap.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache_tpu",
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
@@ -34,6 +47,7 @@ def main(argv=None):
     ap.add_argument("--fusion", default="gfte",
                     choices=["none", "tce", "gfte", "atsf", "gp"])
     ap.add_argument("--profile", default=None, help="xprof trace dir")
+    ap.add_argument("--json", default=None, help="write the JSON record here")
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -114,6 +128,42 @@ def main(argv=None):
     if args.profile:
         jax.profiler.stop_trace()
 
+    # device self-time + MFU (same machinery as bench.py: xprof self-time is
+    # the tunnel-RTT-free number; FLOPs counted analytically over the jaxpr)
+    device_ms = mfu_pct = flops_g = None
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        try:
+            import shutil
+            import tempfile
+
+            from us_video_medsam2_tpu.utils.flops import fn_flops
+            from us_video_medsam2_tpu.utils.traceparse import (
+                device_self_time_ms,
+                peak_bf16_flops,
+            )
+
+            tdir = tempfile.mkdtemp(prefix="train_bench_trace_")
+            try:
+                jax.profiler.start_trace(tdir)
+                stN, losses = multi(state, batch, jax.random.PRNGKey(5))
+                np.asarray(losses[-1])
+                jax.profiler.stop_trace()
+                device_ms = device_self_time_ms(tdir) / args.steps
+            finally:
+                shutil.rmtree(tdir, ignore_errors=True)
+            total_flops = fn_flops(multi, state, batch, jax.random.PRNGKey(5))
+            flops_g = total_flops / args.steps / 1e9
+            peak = peak_bf16_flops(jax.devices()[0].device_kind)
+            if peak and total_flops > 0 and device_ms:
+                mfu_pct = round(
+                    100.0 * (total_flops / args.steps) / (device_ms / 1e3) / peak, 2
+                )
+        except Exception:  # noqa: BLE001 — never fail the timing on profiling
+            import traceback
+
+            traceback.print_exc()
+
     flash = "off" if os.environ.get("US_MEDSAM2_DISABLE_FLASH_DROPOUT") else "on"
     print(
         f"train_step {args.cfg}/{args.fusion} {t}f x {o}obj @{size}² "
@@ -121,6 +171,26 @@ def main(argv=None):
         f"single-dispatch {single_ms:.1f} ms wall, scanned {scan_ms:.1f} ms/step "
         f"(core_loss {float(losses[-1]):.4f})"
     )
+    import json
+
+    record = {
+        "metric": f"train_step_ms_{args.cfg}_{args.fusion}",
+        "value": round(scan_ms, 2),
+        "unit": "ms/step (wall, scanned)",
+        "single_dispatch_ms": round(single_ms, 1),
+        "device_ms_per_step": round(device_ms, 2) if device_ms else None,
+        "mfu_pct": mfu_pct,
+        "flops_per_step_gflop": round(flops_g, 1) if flops_g else None,
+        "frames": t,
+        "objects": o,
+        "image_size": size,
+        "flash_dropout": flash,
+        "core_loss": round(float(losses[-1]), 4),
+    }
+    print(json.dumps(record))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(record, f, indent=1)
 
 
 if __name__ == "__main__":

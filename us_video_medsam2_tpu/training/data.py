@@ -1138,9 +1138,48 @@ class RepeatFactorWrapper:
         return out
 
 
+def mixed_epoch_order(
+    counts: Sequence[int],
+    prob: Sequence[float],
+    rng: np.random.Generator,
+    exhaustion: str = "stop",
+) -> Iterable[int]:
+    """Per-step multinomial dataset-selection order for one epoch (lazy) —
+    the reference's MixedDataLoader mixing law (sam2_datasets.py:141-201):
+    each batch slot draws a dataset index from `prob`.
+
+    exhaustion="stop": the epoch ends the first time an exhausted dataset is
+    drawn (the live vendored `__iter__`, sam2_datasets.py:166-178 — the class
+    defines __iter__ twice; the second definition wins in Python).
+    exhaustion="renormalize": the exhausted dataset's probability is zeroed
+    and drawing continues until every dataset is drained (the upstream
+    `__next__` at sam2_datasets.py:180-201, unreachable in the vendored class
+    but the behavior of upstream SAM2's MixedDataLoader).
+    """
+    assert exhaustion in ("stop", "renormalize")
+    live = np.asarray(prob, np.float64).copy()
+    remaining = list(counts)
+    while live.sum() > 0:
+        di = int(rng.choice(len(live), p=live / live.sum()))
+        if remaining[di] == 0:
+            if exhaustion == "stop":
+                return
+            live[di] = 0.0
+            continue
+        remaining[di] -= 1
+        yield di
+
+
 class TrainMixedVideoLoader:
     """Probability-mixed multi-dataset loader with per-host sharding and
     phases_per_epoch chunking (reference sam2_datasets.py:19-201).
+
+    Batches are interleaved by a per-step multinomial draw over
+    `dataset_prob` (reference MixedDataLoader, sam2_datasets.py:141-178);
+    when dataset_prob is None each dataset's probability is proportional to
+    its batch count (sam2_datasets.py:64-73 — computed here from the actual
+    per-epoch batch lists, which already reflect phase chunking and host
+    sharding). See `mixed_epoch_order` for the exhaustion semantics.
 
     The fork's curriculum switch (sam2_datasets.py:88-118): when
     `use_curriculum=True`, per-epoch curriculum stages come from the raw
@@ -1159,8 +1198,13 @@ class TrainMixedVideoLoader:
         use_curriculum: bool = True,
         process_index: int = 0,
         process_count: int = 1,
+        dataset_prob: Optional[List[float]] = None,
+        exhaustion: str = "stop",
     ):
         assert len(datasets) == len(batch_sizes)
+        if dataset_prob is not None:
+            assert len(dataset_prob) == len(datasets)
+            assert abs(sum(dataset_prob) - 1.0) < 1e-6, "probs must sum to 1.0"
         self.datasets = [RepeatFactorWrapper(d, seed) for d in datasets]
         self.batch_sizes = list(batch_sizes)
         self.max_num_objects = max_num_objects
@@ -1170,6 +1214,8 @@ class TrainMixedVideoLoader:
         self.use_curriculum = use_curriculum
         self.process_index = process_index
         self.process_count = process_count
+        self.dataset_prob = dataset_prob
+        self.exhaustion = exhaustion
         if not use_curriculum:
             for d in self.datasets:
                 raw = d.dataset.video_dataset
@@ -1204,15 +1250,23 @@ class TrainMixedVideoLoader:
         for d in self.datasets:
             if self.use_curriculum:
                 d.set_epoch(epoch)
-        all_batches = []
-        for di, (d, bs) in enumerate(zip(self.datasets, self.batch_sizes)):
-            all_batches.extend(
-                (di, batch) for batch in self._epoch_batches(d, bs, epoch)
-            )
-        g = random.Random(self.seed + epoch)
-        if self.shuffle:
-            g.shuffle(all_batches)
-        for di, batch_idxs in all_batches:
+        per_ds = [
+            self._epoch_batches(d, bs, epoch)
+            for d, bs in zip(self.datasets, self.batch_sizes)
+        ]
+        counts = [len(b) for b in per_ds]
+        if self.dataset_prob is not None:
+            prob = np.asarray(self.dataset_prob, np.float64)
+        else:
+            total = sum(counts)
+            if total == 0:
+                return
+            prob = np.asarray(counts, np.float64) / total
+        rng = np.random.default_rng((self.seed + 1) * 7919 + epoch)
+        cursors = [0] * len(per_ds)
+        for di in mixed_epoch_order(counts, prob, rng, self.exhaustion):
+            batch_idxs = per_ds[di][cursors[di]]
+            cursors[di] += 1
             dps = [self.datasets[di].dataset.get_datapoint(i) for i in batch_idxs]
             yield collate_video_batch(dps, self.max_num_objects)
 
