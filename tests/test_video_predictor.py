@@ -263,3 +263,130 @@ def test_clear_non_cond_mem_around_input(predictor):
     valid = np.asarray(state.bank.valid[0])
     assert valid[1] and valid[3] and valid[4]
     assert not valid[2], "in-scan clearing must scrub frame 2 at cond frame 3"
+
+
+# ------------------------------- long-video support (T-bucketing + offload)
+
+
+def _session_masks(predictor, fx, images, **init_kw):
+    state = predictor.init_state(images, 200, 180, max_objects=2, **init_kw)
+    predictor.add_new_mask(state, 1, 1, jnp.asarray(fx["mask_prompt"]))
+    _, _, prompt_masks = predictor.add_new_points_or_box(
+        state, 1, 2, points=np.array([[30.0, 150.0]]), labels=np.array([1])
+    )
+    fwd = {t: m for t, _, m in predictor.propagate_in_video(state)}
+    rev = {t: m for t, _, m in predictor.propagate_in_video(state, reverse=True)}
+    return state, prompt_masks, fwd, rev
+
+
+def test_bucketed_session_matches_exact(predictor):
+    """t_bucket pads the bank's slot axis; invalid slots are masked with exact
+    zeros in attention, so a bucketed session must reproduce the exact-shape
+    session's outputs."""
+    fx = np.load(require_fixture("predictor_video.npz"))
+    images = nchw2nhwc(fx["images"])  # 5 frames
+
+    s_exact, pm_exact, fwd_e, rev_e = _session_masks(predictor, fx, images)
+    s_buck, pm_buck, fwd_b, rev_b = _session_masks(
+        predictor, fx, images, t_bucket="auto"
+    )
+    assert s_buck.bank.num_slots == 16 and s_exact.bank.num_slots == 5
+    np.testing.assert_allclose(pm_buck, pm_exact, rtol=1e-4, atol=1e-4)
+    assert set(fwd_b) == set(fwd_e) and set(rev_b) == set(rev_e)
+    for t in fwd_e:
+        np.testing.assert_allclose(fwd_b[t], fwd_e[t], rtol=1e-3, atol=1e-3)
+        assert _iou(fwd_b[t][0, 0], fwd_e[t][0, 0]) > 0.999
+    for t in rev_e:
+        np.testing.assert_allclose(rev_b[t], rev_e[t], rtol=1e-3, atol=1e-3)
+
+
+def test_offloaded_session_matches_device(predictor):
+    """offload_video_to_host keeps frames in host RAM and feeds the device per
+    chunk; with host_dtype=float32 the results must match the device-resident
+    session numerically."""
+    fx = np.load(require_fixture("predictor_video.npz"))
+    images = nchw2nhwc(fx["images"])
+
+    s_dev, pm_dev, fwd_d, rev_d = _session_masks(predictor, fx, images)
+    s_off = predictor.init_state(
+        images, 200, 180, max_objects=2,
+        offload_video_to_host=True, io_chunk=4, host_dtype=np.float32,
+    )
+    assert s_off.images is None and s_off.images_host.shape[0] == 5
+    assert s_off.bank.num_slots == 16  # offload implies bucketing
+    predictor.add_new_mask(s_off, 1, 1, jnp.asarray(fx["mask_prompt"]))
+    _, _, pm_off = predictor.add_new_points_or_box(
+        s_off, 1, 2, points=np.array([[30.0, 150.0]]), labels=np.array([1])
+    )
+    np.testing.assert_allclose(pm_off, pm_dev, rtol=1e-4, atol=1e-4)
+    fwd_o = {t: m for t, _, m in predictor.propagate_in_video(s_off, chunk_size=2)}
+    rev_o = {
+        t: m
+        for t, _, m in predictor.propagate_in_video(s_off, reverse=True, chunk_size=2)
+    }
+    assert set(fwd_o) == set(fwd_d) and set(rev_o) == set(rev_d)
+    for t in fwd_d:
+        np.testing.assert_allclose(fwd_o[t], fwd_d[t], rtol=1e-3, atol=1e-3)
+        assert _iou(fwd_o[t][0, 0], fwd_d[t][0, 0]) > 0.999
+    for t in rev_d:
+        np.testing.assert_allclose(rev_o[t], rev_d[t], rtol=1e-3, atol=1e-3)
+
+
+def test_long_video_program_sharing(predictor):
+    """Distinct video lengths inside one slot bucket must share ONE compiled
+    chunk program; a longer video adds at most one more (the round-5 long-video
+    contract: <=2 programs across e.g. 37/64/1000 frames)."""
+    fx = np.load(require_fixture("predictor_video.npz"))
+    base = np.asarray(nchw2nhwc(fx["images"]))  # [5, 256, 256, 3]
+
+    pred = SAM2VideoPredictor(predictor.model, predictor.params, fill_hole_area=0)
+
+    def run(nf):
+        images = np.concatenate([base] * ((nf + 4) // 5))[:nf]
+        state = pred.init_state(
+            images, 200, 180, max_objects=1,
+            offload_video_to_host=True, io_chunk=4,
+        )
+        pred.add_new_mask(state, 0, 1, jnp.asarray(fx["mask_prompt"]))
+        got = [t for t, _, _ in pred.propagate_in_video(state, chunk_size=4)]
+        assert got == list(range(nf)), (nf, got)
+        return state
+
+    s5 = run(5)
+    s9 = run(9)
+    assert s5.bank.num_slots == s9.bank.num_slots == 16
+    assert pred._propagate_chunk._cache_size() == 1, "same bucket must share"
+    s20 = run(20)
+    assert s20.bank.num_slots == 32
+    assert pred._propagate_chunk._cache_size() == 2
+    # the per-chunk host->device feed program is shared across ALL lengths
+    assert pred._prep_chunk._cache_size() == 1
+    # prompting compiles once per bank bucket (the bank is a traced argument),
+    # never per video length
+    assert pred._prompt_frame._cache_size() == 2
+
+
+def test_offloaded_uint8_store_matches_device(predictor):
+    """A model-resolution uint8 video offloads as RAW bytes (normalize+fold run
+    on device per chunk); results must match the device-resident session, whose
+    init preprocesses the same way."""
+    rng = np.random.default_rng(7)
+    video = rng.integers(0, 255, (5, 256, 256, 3), np.uint8)
+    video[:, 60:140, 80:160] = 240  # a bright square to track
+
+    def session(**kw):
+        state = predictor.init_state(video, 200, 180, max_objects=1, **kw)
+        predictor.add_new_points_or_box(
+            state, 0, 1, points=np.array([[120.0, 100.0]]), labels=np.array([1])
+        )
+        fwd = {t: m for t, _, m in predictor.propagate_in_video(state, chunk_size=2)}
+        return state, fwd
+
+    s_dev, fwd_dev = session()
+    s_off, fwd_off = session(offload_video_to_host=True)
+    assert s_off.images_host.dtype == np.uint8
+    assert s_off.images_host.shape == video.shape  # raw store, no fold
+    assert set(fwd_off) == set(fwd_dev)
+    for t in fwd_dev:
+        np.testing.assert_allclose(fwd_off[t], fwd_dev[t], rtol=1e-3, atol=1e-3)
+        assert _iou(fwd_off[t][0, 0], fwd_dev[t][0, 0]) > 0.999

@@ -50,12 +50,19 @@ NO_OBJ_SCORE = -1024.0
 class VideoPredictorState:
     """Mutable host-side handle; device arrays inside are replaced functionally."""
 
-    images: jnp.ndarray  # [T, S, S, 3] normalized, model resolution
+    images: Optional[jnp.ndarray]  # [Tb, S, S, 3] device frames (None if offloaded)
     video_height: int
     video_width: int
     num_frames: int
     max_objects: int
     bank: MemoryBank
+    # long-video support (reference offload_video_to_cpu/offload_state_to_cpu,
+    # sam2_video_predictor.py:47-77): host-resident folded frame store + a bank
+    # whose slot axis is padded to a size bucket so videos of different lengths
+    # share compiled programs
+    bucket: int = 0  # bank slot count (== num_frames when not bucketed)
+    images_host: Optional[np.ndarray] = None  # [T, ...folded...] host frames
+    offloaded: bool = False
     obj_ids: List[int] = dataclasses.field(default_factory=list)
     # per cond frame: obj_idx -> dict(high_res_masks, obj_ptr, score) pending memory encode
     pending: Dict[int, Dict[int, Dict]] = dataclasses.field(default_factory=dict)
@@ -106,24 +113,26 @@ class SAM2VideoPredictor:
         # all frames in batches of N before the scan (fastest)
         self.precompute_batch = precompute_features_batch
         self._encode_frame = jax.jit(self._encode_frame_impl)
-        self._prompt = jax.jit(
-            self._prompt_impl,
-            static_argnames=(
-                "num_frames", "multimask", "is_init", "use_mask", "has_prev",
-                "video_hw",
-            ),
-        )
-        self._finalize = jax.jit(self._finalize_impl)
+        # num_frames is a TRACED argument throughout (the bank's static slot
+        # count comes from its shape): distinct video lengths within one slot
+        # bucket share compiled programs instead of recompiling per length
+        prompt_statics = ("multimask", "is_init", "use_mask", "has_prev", "video_hw")
+        self._prompt = jax.jit(self._prompt_full_impl, static_argnames=prompt_statics)
+        self._prompt_frame = jax.jit(self._prompt_impl, static_argnames=prompt_statics)
+        self._finalize = jax.jit(self._finalize_full_impl)
+        self._finalize_frame = jax.jit(self._finalize_impl)
         self._propagate = jax.jit(
             self._propagate_impl,
-            static_argnames=("num_frames", "reverse", "max_cond_slots", "clear_radius"),
+            static_argnames=("reverse", "max_cond_slots", "clear_radius"),
         )
         self._propagate_chunk = jax.jit(
             self._propagate_chunk_impl,
             static_argnames=(
-                "chunk_len", "num_frames", "reverse", "max_cond_slots", "clear_radius",
+                "chunk_len", "reverse", "max_cond_slots", "clear_radius",
+                "images_are_chunk",
             ),
         )
+        self._prep_chunk = jax.jit(self._prep_chunk_impl)
         self._to_video_res = jax.jit(self._to_video_res_impl, static_argnames=("hw",))
         self._clear_window = jax.jit(
             self._clear_window_impl, static_argnames=("radius",)
@@ -132,26 +141,110 @@ class SAM2VideoPredictor:
         self._permute_rows = jax.jit(self._permute_rows_impl)
 
     # ------------------------------------------------------------- state mgmt
+    @staticmethod
+    def _round_bucket(t: int) -> int:
+        """Next power-of-two slot bucket, min 16 (37 -> 64, 64 -> 64, 1000 -> 1024)."""
+        b = 16
+        while b < t:
+            b *= 2
+        return b
+
+    def _prep_chunk_impl(self, chunk):
+        """Device preprocessing for one host chunk: normalize (if uint8) + fold."""
+        x = chunk
+        if x.dtype == jnp.uint8:
+            x = preprocess_images(x, self.cfg.image_size)
+        return self.model.prepare_images(x)
+
     def init_state(
         self,
         images,
         video_height: int,
         video_width: int,
         max_objects: int = 1,
+        t_bucket=None,
+        offload_video_to_host: bool = False,
+        io_chunk: int = 32,
+        host_dtype=np.float16,
     ) -> VideoPredictorState:
         """images: [T, S, S, 3] float normalized at model resolution (the NPZ
         predictor contract, reference sam2_video_predictor_npz.py:44-63), or
-        [T, H, W, 3] uint8 to be preprocessed here."""
-        images = jnp.asarray(images)
-        if images.dtype == jnp.uint8:
-            images = preprocess_images(images, self.cfg.image_size)
-        t = images.shape[0]
-        # fold to the trunk's preferred layout ONCE (e.g. Hiera space-to-depth)
-        # so the per-frame tracking scan skips the patch-embed relayout
-        images = jax.jit(self.model.prepare_images)(images)
+        [T, H, W, 3] uint8 to be preprocessed here.
+
+        Long-video options (reference offload_video_to_cpu / offload_state_to_cpu,
+        sam2_video_predictor.py:47-77):
+        - t_bucket: None keeps the exact-shape session (bank slots == T).
+          "auto" pads the bank's slot axis (and the device video, if resident)
+          to the next power-of-two bucket, so every video length in a bucket
+          reuses one compiled propagation program. An int pins the bucket.
+        - offload_video_to_host: keep the (folded, preprocessed) frames in host
+          RAM as `host_dtype` and feed them to the device chunk-by-chunk during
+          propagation — HBM holds only one chunk of frames + the fixed-shape
+          bank. Implies t_bucket="auto". host_dtype=np.float16 halves host RAM
+          (~1e-3 relative quantization on normalized pixels); use np.float32
+          for bit-exactness vs the device-resident path.
+        - The reference's offload_state_to_cpu has no separate switch here: all
+          per-frame outputs already stream to host numpy, and the bank is a
+          fixed-shape bf16 store bounded by the bucket
+          (O x bucket x (mem_hw x mem_dim + hidden) — ~134 MB/object at a
+          1024 bucket for hiera-t512), so there is nothing video-length-shaped
+          left in HBM to offload.
+        """
+        t = int(images.shape[0]) if hasattr(images, "shape") else len(images)
+        if offload_video_to_host and t_bucket is None:
+            t_bucket = "auto"
+        bucket = (
+            t if t_bucket is None
+            else self._round_bucket(t) if t_bucket == "auto"
+            else int(t_bucket)
+        )
+        assert bucket >= t, f"t_bucket {bucket} < num_frames {t}"
+
+        images_host = None
+        if offload_video_to_host:
+            src = np.asarray(images)
+            images = None
+            if src.dtype == np.uint8 and src.shape[1:3] == (
+                self.cfg.image_size, self.cfg.image_size,
+            ):
+                # model-resolution uint8 video: keep the RAW bytes as the host
+                # store (1 byte/px — half a float16 folded store, which matters
+                # when host->device bandwidth bounds streaming) and
+                # normalize+fold on device per chunk/frame
+                images_host = src
+            else:
+                # float (already-normalized) input: preprocess+fold ON THE HOST
+                # (the same jitted code, pinned to the CPU backend) in
+                # fixed-size chunks; the accelerator never sees the full video
+                # and — critically on remote-tunnel TPUs, where device->host
+                # fetch is orders of magnitude slower than upload — nothing is
+                # ever fetched back from the device
+                cpu = jax.devices("cpu")[0]
+                pad = (-t) % io_chunk
+                with jax.default_device(cpu):
+                    for a in range(0, t + pad, io_chunk):
+                        chunk = src[a : a + io_chunk]
+                        if chunk.shape[0] < io_chunk:  # pad the tail chunk
+                            chunk = np.concatenate(
+                                [chunk, np.zeros((io_chunk - chunk.shape[0], *chunk.shape[1:]), chunk.dtype)]
+                            )
+                        out = np.asarray(self._prep_chunk(jnp.asarray(chunk)), host_dtype)
+                        if images_host is None:
+                            images_host = np.empty((t, *out.shape[1:]), host_dtype)
+                        images_host[a : min(a + io_chunk, t)] = out[: min(io_chunk, t - a)]
+        else:
+            images = jnp.asarray(images)
+            if images.dtype == jnp.uint8:
+                images = preprocess_images(images, self.cfg.image_size)
+            # fold to the trunk's preferred layout ONCE (e.g. Hiera space-to-depth)
+            # so the per-frame tracking scan skips the patch-embed relayout
+            images = jax.jit(self.model.prepare_images)(images)
+            if bucket > t:
+                images = jnp.pad(images, ((0, bucket - t),) + ((0, 0),) * (images.ndim - 1))
+
         hw = self.cfg.feat_size**2
         bank = init_memory_bank(
-            max_objects, t, hw, self.cfg.mem_dim, self.cfg.hidden_dim,
+            max_objects, bucket, hw, self.cfg.mem_dim, self.cfg.hidden_dim,
             dtype=self.bank_dtype, ptr_dtype=jnp.float32,
         )
         return VideoPredictorState(
@@ -161,12 +254,15 @@ class SAM2VideoPredictor:
             num_frames=t,
             max_objects=max_objects,
             bank=bank,
+            bucket=bucket,
+            images_host=images_host,
+            offloaded=offload_video_to_host,
         )
 
     def reset_state(self, state: VideoPredictorState) -> VideoPredictorState:
         hw = self.cfg.feat_size**2
         state.bank = init_memory_bank(
-            state.max_objects, state.num_frames, hw, self.cfg.mem_dim,
+            state.max_objects, state.bank.num_slots, hw, self.cfg.mem_dim,
             self.cfg.hidden_dim, dtype=self.bank_dtype, ptr_dtype=jnp.float32,
         )
         state.obj_ids = []
@@ -199,10 +295,23 @@ class SAM2VideoPredictor:
             feats["s0"], feats["s1"] = fpn[0], fpn[1]
         return feats
 
+    def _prompt_full_impl(
+        self, params, images, bank, frame_idx, obj_idx, coords, labels,
+        mask_input, prev_logits, num_frames, *, multimask, is_init, use_mask,
+        has_prev, video_hw=None,
+    ):
+        """Device-resident video: slice the frame inside the jit (one dispatch)."""
+        return self._prompt_impl(
+            params, images[frame_idx][None], bank, frame_idx, obj_idx, coords,
+            labels, mask_input, prev_logits, num_frames, multimask=multimask,
+            is_init=is_init, use_mask=use_mask, has_prev=has_prev,
+            video_hw=video_hw,
+        )
+
     def _prompt_impl(
         self,
         params,
-        images,
+        frame_image,
         bank,
         frame_idx,
         obj_idx,
@@ -210,15 +319,17 @@ class SAM2VideoPredictor:
         labels,
         mask_input,
         prev_logits,
-        *,
         num_frames,
+        *,
         multimask,
         is_init,
         use_mask,
         has_prev,
         video_hw=None,
     ):
-        feats = self._encode_frame_impl(params, images[frame_idx][None])
+        if frame_image.dtype == jnp.uint8:  # raw-uint8 offloaded host store
+            frame_image = self._prep_chunk_impl(frame_image)
+        feats = self._encode_frame_impl(params, frame_image.astype(jnp.float32))
         bank1 = jax.tree.map(
             lambda x: jax.lax.dynamic_slice_in_dim(x, obj_idx, 1, 0), bank
         )
@@ -249,9 +360,20 @@ class SAM2VideoPredictor:
             )
         return out
 
-    def _finalize_impl(self, params, images, bank, frame_idx, high_res_masks, scores, obj_ptrs, obj_valid):
+    def _finalize_full_impl(
+        self, params, images, bank, frame_idx, high_res_masks, scores, obj_ptrs,
+        obj_valid,
+    ):
+        return self._finalize_impl(
+            params, images[frame_idx][None], bank, frame_idx, high_res_masks,
+            scores, obj_ptrs, obj_valid,
+        )
+
+    def _finalize_impl(self, params, frame_image, bank, frame_idx, high_res_masks, scores, obj_ptrs, obj_valid):
         """Encode consolidated cond-frame memory for all objects, write bank."""
-        feats = self._encode_frame_impl(params, images[frame_idx][None])
+        if frame_image.dtype == jnp.uint8:  # raw-uint8 offloaded host store
+            frame_image = self._prep_chunk_impl(frame_image)
+        feats = self._encode_frame_impl(params, frame_image.astype(jnp.float32))
         o = high_res_masks.shape[0]
         top = jnp.broadcast_to(feats["top"], (o, *feats["top"].shape[1:]))
         if self.cfg.non_overlap_masks_for_mem_enc:
@@ -274,12 +396,18 @@ class SAM2VideoPredictor:
         return bank
 
     def _propagate_chunk_impl(
-        self, params, images, bank, start_idx, end_idx, chunk_start, *, chunk_len,
-        num_frames, reverse, max_cond_slots=None, clear_radius=None,
+        self, params, images, bank, start_idx, end_idx, chunk_start, num_frames,
+        *, chunk_len, reverse, max_cond_slots=None, clear_radius=None,
+        images_are_chunk=False,
     ):
         """Scan a window of `chunk_len` processing positions beginning at the
         (traced) position chunk_start — streaming propagation: one compiled
-        program reused per chunk, results yielded chunk by chunk."""
+        program reused per chunk, results yielded chunk by chunk.
+
+        images_are_chunk=True: `images` holds exactly this chunk's frames in
+        processing order ([chunk_len, ...], gathered on host from the offloaded
+        store) and is indexed by the relative scan position; otherwise it is
+        the whole resident video indexed by absolute frame."""
         cfg = self.cfg
         o = bank.maskmem.shape[0]
         fs = cfg.feat_size
@@ -289,10 +417,18 @@ class SAM2VideoPredictor:
         def body(bank, i):
             pos = chunk_start + i
             t = jnp.where(reverse, num_frames - 1 - pos, pos)
-            t = jnp.clip(t, 0, num_frames - 1)
+            t = jnp.clip(t, 0, bank.num_slots - 1)
 
             def run(_):
-                feats1 = self._encode_frame_impl(params, images[t][None])
+                if images_are_chunk:
+                    frame = images[i][None]
+                    if images.dtype == jnp.uint8:
+                        # raw uint8 host store (half the host->device bytes of
+                        # a float16 folded store): normalize+fold on device
+                        frame = self._prep_chunk_impl(frame)
+                else:
+                    frame = images[t][None]
+                feats1 = self._encode_frame_impl(params, frame.astype(jnp.float32))
                 feats = {
                     k: jnp.broadcast_to(v, (o, *v.shape[1:])) for k, v in feats1.items()
                 }
@@ -362,12 +498,13 @@ class SAM2VideoPredictor:
         return bank, outs
 
     def _propagate_impl(
-        self, params, images, bank, start_idx, end_idx, *, num_frames, reverse,
+        self, params, images, bank, start_idx, end_idx, num_frames, *, reverse,
         max_cond_slots=None, clear_radius=None,
     ):
         cfg = self.cfg
         o = bank.maskmem.shape[0]
         fs = cfg.feat_size
+        s_total = images.shape[0]  # static scan length (== bank slot bucket)
 
         feats_all = None
         nb = self.precompute_batch
@@ -375,21 +512,23 @@ class SAM2VideoPredictor:
             # encode all frames in MXU-friendly batches before the tracking scan
             # (the reference encodes per frame inside its python loop; batching
             # the encoder is free accuracy-wise and much better utilization)
-            pad = (-num_frames) % nb
+            pad = (-s_total) % nb
             imgs = jnp.pad(images, ((0, pad), (0, 0), (0, 0), (0, 0)))
             chunks = imgs.reshape(-1, nb, *images.shape[1:])
             feats_all = jax.lax.map(
                 lambda c: self._encode_frame_impl(params, c), chunks
             )
             feats_all = jax.tree.map(
-                lambda x: x.reshape(-1, *x.shape[2:])[:num_frames], feats_all
+                lambda x: x.reshape(-1, *x.shape[2:])[:s_total], feats_all
             )
 
         hw_mem = self.cfg.feat_size**2
         md = self.cfg.mem_dim
 
         def body(bank, i):
-            t = (num_frames - 1 - i) if reverse else i
+            t = jnp.where(reverse, num_frames - 1 - i, i)
+            t = jnp.clip(t, 0, s_total - 1)
+            in_window = i < num_frames  # positions past T in a padded bucket
 
             # the (large) bank stays OUT of the cond branches: branches return
             # only this frame's memory row, merged below — avoids whole-bank
@@ -432,7 +571,7 @@ class SAM2VideoPredictor:
                 else ((t < start_idx) & (t >= end_idx))
             )  # frames outside the tracking window neither run nor touch the bank
             is_cond = jnp.any(bank.is_cond[:, t] & bank.valid[:, t])
-            do_run = in_range & ~is_cond
+            do_run = in_window & in_range & ~is_cond
             mem_row, ptr_row, low = jax.lax.cond(do_run, run, skip, None)
             valid = bank.valid
             if clear_radius is not None:
@@ -447,7 +586,7 @@ class SAM2VideoPredictor:
                 tt = jnp.arange(s, dtype=jnp.int32)
                 win = (tt >= t - clear_radius) & (tt <= t + clear_radius)
                 valid = valid & ~(
-                    (is_cond & in_order) & win[None, :] & ~bank.is_cond
+                    (is_cond & in_order & in_window) & win[None, :] & ~bank.is_cond
                 )
             bank = MemoryBank(
                 maskmem=bank.maskmem.at[:, t].set(
@@ -462,7 +601,7 @@ class SAM2VideoPredictor:
             return bank, (low, do_run)
 
         bank, (lows, ran) = jax.lax.scan(
-            body, bank, jnp.arange(num_frames, dtype=jnp.int32)
+            body, bank, jnp.arange(s_total, dtype=jnp.int32)
         )
         if self.fill_hole_area > 0:
             # one batched connected-components pass over ALL frames/objects —
@@ -512,6 +651,30 @@ class SAM2VideoPredictor:
         )
 
     # -------------------------------------------------------------- prompting
+    def _host_frame(self, state: VideoPredictorState, frame_idx: int) -> jnp.ndarray:
+        """One frame from the offloaded host store -> device [1, ...folded...]."""
+        return jnp.asarray(state.images_host[frame_idx][None])
+
+    def _dispatch_prompt(
+        self, state, frame_idx, obj_idx, coords, labels, mask_input, prev,
+        *, multimask, is_init, use_mask, has_prev,
+    ):
+        common = dict(
+            multimask=multimask, is_init=is_init, use_mask=use_mask,
+            has_prev=has_prev, video_hw=(state.video_height, state.video_width),
+        )
+        nf = jnp.asarray(state.num_frames)
+        if state.offloaded:
+            return self._prompt_frame(
+                self.params, self._host_frame(state, frame_idx), state.bank,
+                jnp.asarray(frame_idx), obj_idx, coords, labels, mask_input,
+                prev, nf, **common,
+            )
+        return self._prompt(
+            self.params, state.images, state.bank, jnp.asarray(frame_idx),
+            obj_idx, coords, labels, mask_input, prev, nf, **common,
+        )
+
     def add_new_points_or_box(
         self,
         state: VideoPredictorState,
@@ -560,22 +723,18 @@ class SAM2VideoPredictor:
             if has_prev
             else jnp.zeros((1, 4 * cfg.feat_size, 4 * cfg.feat_size, 1))
         )
-        out = self._prompt(
-            self.params,
-            state.images,
-            state.bank,
-            jnp.asarray(frame_idx),
+        out = self._dispatch_prompt(
+            state,
+            frame_idx,
             jnp.asarray(obj_idx),
             jnp.asarray(coords),
             jnp.asarray(lbls),
             jnp.zeros((1, cfg.image_size, cfg.image_size, 1)),
             prev,
-            num_frames=state.num_frames,
             multimask=multimask,
             is_init=is_init,
             use_mask=False,
             has_prev=has_prev,
-            video_hw=(state.video_height, state.video_width),
         )
         self._store_prompt_output(state, frame_idx, obj_idx, out)
         return self._prompt_return(state, frame_idx)
@@ -590,22 +749,18 @@ class SAM2VideoPredictor:
             m = (m >= 0.5).astype(jnp.float32)
         obj_idx = state.obj_idx(obj_id)
         is_init = frame_idx not in state.frames_tracked
-        out = self._prompt(
-            self.params,
-            state.images,
-            state.bank,
-            jnp.asarray(frame_idx),
+        out = self._dispatch_prompt(
+            state,
+            frame_idx,
             jnp.asarray(obj_idx),
             jnp.zeros((1, 1, 2)),
             -jnp.ones((1, 1), jnp.int32),
             m[None],
             jnp.zeros((1, 4 * cfg.feat_size, 4 * cfg.feat_size, 1)),
-            num_frames=state.num_frames,
             multimask=False,
             is_init=is_init,
             use_mask=True,
             has_prev=False,
-            video_hw=(state.video_height, state.video_width),
         )
         self._store_prompt_output(state, frame_idx, obj_idx, out)
         return self._prompt_return(state, frame_idx)
@@ -792,16 +947,22 @@ class SAM2VideoPredictor:
                 scores = scores.at[oi].set(rec["score"][0].astype(jnp.float32))
                 ptrs = ptrs.at[oi].set(rec["obj_ptr"][0].astype(jnp.float32))
                 valid[oi] = True
-            state.bank = self._finalize(
-                self.params,
-                state.images,
-                state.bank,
-                jnp.asarray(frame_idx),
-                high,
-                scores,
-                ptrs,
-                jnp.asarray(valid),
-            )
+            if state.offloaded:
+                state.bank = self._finalize_frame(
+                    self.params, self._host_frame(state, frame_idx), state.bank,
+                    jnp.asarray(frame_idx), high, scores, ptrs, jnp.asarray(valid),
+                )
+            else:
+                state.bank = self._finalize(
+                    self.params,
+                    state.images,
+                    state.bank,
+                    jnp.asarray(frame_idx),
+                    high,
+                    scores,
+                    ptrs,
+                    jnp.asarray(valid),
+                )
             low = np.full((o, 4 * cfg.feat_size, 4 * cfg.feat_size), NO_OBJ_SCORE, np.float32)
             for oi, rec in per_obj.items():
                 low[oi] = np.asarray(rec["low_res_masks"][0, 0])
@@ -851,6 +1012,11 @@ class SAM2VideoPredictor:
             video = self._to_video_res(jnp.asarray(low), hw=hw)
             return t, list(state.obj_ids), np.asarray(video)[:, None]
 
+        if state.offloaded and chunk_size is None:
+            # offloaded video: only the streaming path exists (HBM never holds
+            # more than one chunk of frames)
+            chunk_size = 64
+
         if chunk_size is None:
             bank, lows, ran = self._propagate(
                 self.params,
@@ -858,7 +1024,7 @@ class SAM2VideoPredictor:
                 state.bank,
                 jnp.asarray(t0),
                 jnp.asarray(end),
-                num_frames=nf,
+                jnp.asarray(nf),
                 reverse=reverse,
                 max_cond_slots=mcs,
                 clear_radius=clear_radius,
@@ -879,21 +1045,38 @@ class SAM2VideoPredictor:
         pending = list(order)
         pos = (nf - 1 - t0) if reverse else t0  # processing position of t0
         while pending:
+            if state.offloaded:
+                # host gather of this chunk's frames in processing order; the
+                # device only ever holds chunk_size frames of video
+                idxs = np.zeros(chunk_size, np.int64)
+                for i in range(chunk_size):
+                    t = (nf - 1 - (pos + i)) if reverse else (pos + i)
+                    idxs[i] = t if 0 <= t < nf else 0  # clamped rows are masked
+                imgs = jnp.asarray(state.images_host[idxs])
+            else:
+                imgs = state.images
             state.bank, (lows, ran, ts) = self._propagate_chunk(
                 self.params,
-                state.images,
+                imgs,
                 state.bank,
                 jnp.asarray(t0),
                 jnp.asarray(end),
                 jnp.asarray(pos),
+                jnp.asarray(nf),
                 chunk_len=chunk_size,
-                num_frames=nf,
                 reverse=reverse,
                 max_cond_slots=mcs,
                 clear_radius=clear_radius,
+                images_are_chunk=state.offloaded,
             )
             lows_np, ran_np, ts_np = np.asarray(lows), np.asarray(ran), np.asarray(ts)
-            covered = {int(ts_np[i]): i for i in range(chunk_size)}
+            # a tail chunk can contain both a real row for frame t and masked
+            # rows whose clamped position collides with t — keep the row that ran
+            covered = {}
+            for i in range(chunk_size):
+                t_i = int(ts_np[i])
+                if t_i not in covered or ran_np[i]:
+                    covered[t_i] = i
             while pending:
                 t = pending[0]
                 if t in state.cond_low_res:

@@ -81,7 +81,8 @@ class MemorySelection(NamedTuple):
     ptr_idx: jnp.ndarray  # [B, P] frame indices
     ptr_valid: jnp.ndarray  # [B, P] bool
     ptr_pos: jnp.ndarray  # [B, P] float temporal distance values
-    t_diff_max: int  # static normalizer for the pointer sine embedding
+    t_diff_max: int | jnp.ndarray  # pointer sine-embedding normalizer (static
+    # int, or a traced scalar when num_frames is traced — same value either way)
 
 
 def select_memories(
@@ -104,6 +105,13 @@ def select_memories(
     session holds fewer conditioning frames than the config cap (e.g. a single
     prompted frame), shrinking K is exact — the extra slots could never be valid
     — and removes their keys from every memory-attention matmul.
+
+    num_frames may be a static int (training; exact-shape predictor) or a traced
+    scalar (T-bucketed predictor: one compiled program per bank bucket instead of
+    one per video length). The traced form sizes the pointer slots at the config
+    cap and relies on the validity masks — masked keys contribute exact zeros in
+    attention (ops/attention.py NEG_INF), so both forms are numerically
+    identical.
     """
     B = bank.maskmem.shape[0]
     S = bank.num_slots
@@ -168,8 +176,14 @@ def select_memories(
     )
 
     # --- object-pointer slots ---
-    max_ptrs = min(num_frames, cfg.max_obj_ptrs_in_encoder)
-    t_diff_max = max(max_ptrs - 1, 1)
+    if isinstance(num_frames, int):
+        max_ptrs = min(num_frames, cfg.max_obj_ptrs_in_encoder)
+        t_diff_max = max(max_ptrs - 1, 1)
+    else:  # traced num_frames: static slot count at the cap, masked below
+        max_ptrs = cfg.max_obj_ptrs_in_encoder
+        t_diff_max = jnp.maximum(
+            jnp.minimum(num_frames, cfg.max_obj_ptrs_in_encoder) - 1, 1
+        ).astype(jnp.float32)
     # cond pointers (optionally restricted to the past at eval)
     cond_t = cond_idx.astype(jnp.int32)
     cond_ptr_valid = cond_valid
