@@ -7,7 +7,12 @@ video, sam2_video_predictor.py). Videos are device-resident before timing
 (re-uploading ~200 MB per call dominates on remote-tunnel setups).
 
 Usage: python tools/bench_serve.py [--cfg sam2.1_hiera_t512] [--videos 4]
-       [--frames 16] [--runs 3]
+       [--frames 16] [--runs 3] [--trace /tmp/serve_trace]
+
+With --trace, one timed call is captured under jax.profiler and the xprof
+device self-time breakdown (per HLO category / module) is printed via
+utils/traceparse.py — the per-batch device numbers behind the batched-serving
+saturation analysis in docs/ROADMAP.md.
 """
 
 from __future__ import annotations
@@ -30,6 +35,7 @@ def main(argv=None):
     ap.add_argument("--videos", type=int, default=4)
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--trace", default=None, help="xprof trace output dir")
     args = ap.parse_args(argv)
 
     from bench import load_real_video
@@ -71,6 +77,26 @@ def main(argv=None):
         f"serve {args.cfg}: {n} videos x {args.frames} frames @{cfg.image_size}² "
         f"in {dt * 1e3:.1f} ms/call = {agg_fps:.1f} aggregate frames/s/chip"
     )
+    if args.trace:
+        jax.profiler.start_trace(args.trace)
+        out = batched_propagate(predictor, videos, coords, labels)
+        np.asarray(out[-1, -1, :2, :2])
+        jax.profiler.stop_trace()
+        from us_video_medsam2_tpu.utils.traceparse import parse_trace
+
+        self_op, self_mod, self_cat, _ = parse_trace(args.trace)
+        total = sum(self_op.values())
+        nt = n * args.frames
+        print(
+            f"device self time: {total/1e3:.2f} ms/call "
+            f"({total/nt:.1f} us/frame, {nt/(total/1e6):.1f} device-bound agg FPS)"
+        )
+        print("-- by HLO category --")
+        for c, d in self_cat.most_common(12):
+            print(f"{d/1e3:9.2f} ms {100*d/total:5.1f}%  {c}")
+        print("-- by module --")
+        for m, d in self_mod.most_common(15):
+            print(f"{d/1e3:9.2f} ms {100*d/total:5.1f}%  {m[:110]}")
 
 
 if __name__ == "__main__":

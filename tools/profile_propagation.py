@@ -22,6 +22,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def capture(out_dir: str, num_frames: int, cfg_name: str = "sam2.1_hiera_t512") -> None:
     import jax
+
+    # persistent compilation cache (same recipe as bench.py): propagation
+    # compiles for the big configs take minutes on this 1-vCPU host
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache_tpu",
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     import jax.numpy as jnp
     import numpy as np
 

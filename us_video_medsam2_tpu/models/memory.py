@@ -222,8 +222,50 @@ class MaskDownSampler(nn.Module):
         )(x)
 
 
+class _LNParams(nn.Module):
+    """Parameter holder matching LayerNorm's names for manually computed paths."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return s, b
+
+
+class _DenseParams(nn.Module):
+    """Parameter holder matching nn.Dense's names for manually computed paths."""
+
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.din, self.dout),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.dout,), jnp.float32)
+        return k, b
+
+
 class CXBlock(nn.Module):
-    """ConvNeXt block, NHWC (reference memory_encoder.py:62-117)."""
+    """ConvNeXt block, NHWC (reference memory_encoder.py:62-117).
+
+    The chain is composed functionally (kernels/fused_cxblock.py::_xla_ref)
+    with the identical lowerings the submodules used (shifted-MAC dwconv,
+    fast-variance LN, bf16 Dense dots, exact GELU); param tree unchanged.
+    US_MEDSAM2_ENABLE_FUSED_CXBLOCK=1 opts TPU/bf16 into the one-pass Pallas
+    block kernel — A/B-tested and REJECTED as the default: it wins its module
+    (13.2 -> 10.8 ms/64f) but nonlocally regresses the memory-attention LN
+    fusions by +9 ms (kernels/fused_cxblock.py STATUS note).
+
+    NOTE: a partial Pallas LN here was A/B-tested too and REGRESSES badly
+    (109 -> 136 ms/64f device, round-4): it displaces XLA's fusion of the
+    shifted-MAC dwconv + LN + pwconv1 chain. Fuse the whole block or nothing
+    — and on this evidence, nothing.
+    """
 
     dim: int
     kernel_size: int = 7
@@ -233,28 +275,30 @@ class CXBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        inp = x
-        x = Conv2d(
-            self.dim,
-            self.kernel_size,
-            padding=self.padding,
-            groups=self.dim,
-            dtype=self.dtype,
-            name="dwconv",
-        )(x)
-        # NOTE: pallas_ok here was A/B-tested and REGRESSES badly (109 -> 136
-        # ms/64f device, round-4): the Pallas call displaces XLA's fusion of
-        # the shifted-MAC dwconv + LN + pwconv1 chain. Keep the XLA path.
-        x = LayerNorm(eps=1e-6, dtype=self.dtype, name="norm")(x)
-        x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
-        x = gelu_exact(x)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
+        from us_video_medsam2_tpu.kernels.fused_cxblock import (
+            _xla_ref,
+            fused_cxblock,
+            fused_cxblock_available,
+        )
+
+        k = self.kernel_size
+        dw_w, dw_b = _ConvHolder((k, k, 1, self.dim), name="dwconv")()
+        ln_s, ln_b = _LNParams(self.dim, name="norm")()
+        w1, b1 = _DenseParams(self.dim, 4 * self.dim, name="pwconv1")()
+        w2, b2 = _DenseParams(4 * self.dim, self.dim, name="pwconv2")()
         gamma = self.param(
             "gamma",
             nn.initializers.constant(self.layer_scale_init),
             (self.dim,),
         )
-        return inp + gamma.astype(self.dtype) * x
+        args = (dw_w, dw_b, ln_s, ln_b, w1, b1, w2, b2, gamma)
+        if (
+            not self.is_initializing()
+            and self.padding == k // 2
+            and fused_cxblock_available(x.shape, x.dtype)
+        ):
+            return fused_cxblock(x, *args, 1e-6)
+        return _xla_ref(x, *args, 1e-6)
 
 
 class MemoryEncoder(nn.Module):
