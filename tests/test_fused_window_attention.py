@@ -76,6 +76,21 @@ def test_forward_matches_xla_ref_hd64(hp, wp, ws, nh, q_pool):
     assert mismatch < 0.02
 
 
+def test_full_relayout_paths_are_bitwise_equal(monkeypatch):
+    """The hd=64 default (one full-width window relayout, round-5 A/B) and
+    the per-head relayout must produce BITWISE identical outputs — the
+    variant only reorders data movement, never arithmetic."""
+    rng = np.random.default_rng(5)
+    qkv = jnp.asarray(rng.standard_normal((1, 42, 42, 3 * 6 * 64)), jnp.bfloat16)
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("US_MEDSAM2_WINATTN_FULL_RELAYOUT", flag)
+        outs[flag] = np.asarray(
+            _run(qkv, ws=14, nh=6, hd=64, q_pool=False, interpret=True)
+        )
+    assert (outs["0"] == outs["1"]).all()
+
+
 # real_h cut: maps bottom-padded for the window grid (32² -> 42² at ws=14)
 # skip the last strip's pad-query rows — outputs there come back zero and the
 # model slices them off. (real_h, hp, wp, ws, nh, hd, q_pool)

@@ -178,14 +178,35 @@ def _kernel(
         a = a.reshape(ws, n_win, ws, hd)
         return jnp.transpose(a, (1, 0, 2, 3)).reshape(n_win, lk, hd)
 
+    win_all = None
+    env = os.environ.get("US_MEDSAM2_WINATTN_FULL_RELAYOUT")
+    use_full = (env == "1") if env is not None else (hd == 64)
+    if use_full:
+        # ONE full-width window relayout of the whole strip (sublane retile +
+        # leading-dim tile moves), then per-head lane slices — 1 big Mosaic
+        # relayout instead of 3*nh small ones. Same bytes moved; at hd=64 the
+        # per-head half-vreg relayouts carry enough per-op overhead that the
+        # single pass wins (ViT-S kernels 20.88 -> 20.39 ms/64f, total 104.76
+        # -> 103.93), while at hd_pad=128 full-vreg per-head slices are
+        # marginally better (hiera 14.65 vs 14.92) — round-5 A/B, so this
+        # engages only for native-64 heads. Env US_MEDSAM2_WINATTN_FULL_RELAYOUT
+        # =0/1 forces either path for A/Bs.
+        aw = strip.reshape(ws, n_win, ws, 3 * nh * hd)
+        win_all = jnp.transpose(aw, (1, 0, 2, 3)).reshape(n_win, lk, 3 * nh * hd)
+
     lq_eff = q_lq if (q_lq and g == 1) else lq
     for h in range(nh):
         # per-(qkv, head) 2D lane slices at hd-multiple offsets, then the
         # window transpose per head — same total relayout volume as one big
         # 6D transpose, in lane-split-free pieces
-        q = _towin(strip[:, :, (0 * nh + h) * hd : (0 * nh + h + 1) * hd])
-        k = _towin(strip[:, :, (1 * nh + h) * hd : (1 * nh + h + 1) * hd])
-        v = _towin(strip[:, :, (2 * nh + h) * hd : (2 * nh + h + 1) * hd])
+        if win_all is not None:
+            q = win_all[:, :, (0 * nh + h) * hd : (0 * nh + h + 1) * hd]
+            k = win_all[:, :, (1 * nh + h) * hd : (1 * nh + h + 1) * hd]
+            v = win_all[:, :, (2 * nh + h) * hd : (2 * nh + h + 1) * hd]
+        else:
+            q = _towin(strip[:, :, (0 * nh + h) * hd : (0 * nh + h + 1) * hd])
+            k = _towin(strip[:, :, (1 * nh + h) * hd : (1 * nh + h + 1) * hd])
+            v = _towin(strip[:, :, (2 * nh + h) * hd : (2 * nh + h + 1) * hd])
         if q_pool:
             q = (
                 q.reshape(n_win, wso, 2, wso, 2, hd)
