@@ -36,6 +36,10 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--trace", default=None, help="xprof trace output dir")
+    ap.add_argument(
+        "--json", action="store_true",
+        help="emit one machine-readable JSON line (the SERVE_BENCH_r{N} artifact)",
+    )
     args = ap.parse_args(argv)
 
     from bench import load_real_video
@@ -77,6 +81,7 @@ def main(argv=None):
         f"serve {args.cfg}: {n} videos x {args.frames} frames @{cfg.image_size}² "
         f"in {dt * 1e3:.1f} ms/call = {agg_fps:.1f} aggregate frames/s/chip"
     )
+    device_us_per_frame = None
     if args.trace:
         jax.profiler.start_trace(args.trace)
         out = batched_propagate(predictor, videos, coords, labels)
@@ -87,6 +92,7 @@ def main(argv=None):
         self_op, self_mod, self_cat, _ = parse_trace(args.trace)
         total = sum(self_op.values())
         nt = n * args.frames
+        device_us_per_frame = total / nt
         print(
             f"device self time: {total/1e3:.2f} ms/call "
             f"({total/nt:.1f} us/frame, {nt/(total/1e6):.1f} device-bound agg FPS)"
@@ -97,6 +103,21 @@ def main(argv=None):
         print("-- by module --")
         for m, d in self_mod.most_common(15):
             print(f"{d/1e3:9.2f} ms {100*d/total:5.1f}%  {m[:110]}")
+    if args.json:
+        import json
+
+        rec = {
+            "metric": f"serve_aggregate_fps_{args.cfg}",
+            "value": round(agg_fps, 1),
+            "unit": "frames/s/chip",
+            "videos": n,
+            "frames_per_video": args.frames,
+            "wall_ms_per_call": round(dt * 1e3, 1),
+        }
+        if device_us_per_frame is not None:
+            rec["device_ms_per_frame"] = round(device_us_per_frame / 1e3, 4)
+            rec["device_bound_agg_fps"] = round(1e6 / device_us_per_frame, 1)
+        print(json.dumps(rec))
 
 
 if __name__ == "__main__":
